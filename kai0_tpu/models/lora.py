@@ -1,0 +1,145 @@
+"""LoRA: low-rank adaptation for einsum weights and the Gemma gated FFN.
+
+Functional counterpart of reference ``src/openpi/models/lora.py``: parameters live in
+plain dicts next to the base weight (keys ``lora_a``/``lora_b``,
+``gating_einsum_lora_{a,b}``, ``linear_lora_{a,b}`` — same names, so path-regex freeze
+filters and checkpoint merging behave identically). The einsum equations for the
+low-rank factors are derived from the base equation exactly as in the reference
+(:67-85). Note the reference quirk kept for parity: the FFN LoRA path applies *no*
+alpha/rank scaling (lora.py:144-148), only ``Einsum`` does (:59-63).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class LoRAConfig:
+    rank: int
+    alpha: float = 1.0
+    # stddev of the normal init for lora params.
+    init_stddev: float = 0.01
+    # Rank-stabilized LoRA (https://arxiv.org/pdf/2312.03732).
+    rslora: bool = False
+    # Axes of the base weight to factorize (typically the last two).
+    axes: tuple[int, int] = (-2, -1)
+    # Einsum label for the rank axis; must not appear in the base equation.
+    label: str = "L"
+
+    @property
+    def scaling_value(self) -> float:
+        return self.alpha / math.sqrt(self.rank) if self.rslora else self.alpha / self.rank
+
+
+def init_einsum(rng: jax.Array, shape: tuple[int, ...], init_fn, lora_config: LoRAConfig | None) -> dict:
+    """Init an einsum weight dict: ``{"w": ...}`` plus LoRA factors when configured."""
+    params = {"w": init_fn(rng, shape)}
+    if config := lora_config:
+        shape_a, shape_b = list(shape), list(shape)
+        shape_a[config.axes[1]] = config.rank
+        shape_b[config.axes[0]] = config.rank
+        ra, rb = jax.random.split(jax.random.fold_in(rng, 1))
+        params["lora_a"] = config.init_stddev * jax.random.normal(ra, shape_a)
+        params["lora_b"] = config.init_stddev * jax.random.normal(rb, shape_b)
+    return params
+
+
+def apply_einsum(params: dict, eqn: str, x: jax.Array, lora_config: LoRAConfig | None) -> jax.Array:
+    """``einsum(eqn, x, w)`` plus the scaled low-rank term when LoRA params are present."""
+    dtype = x.dtype
+    result = jnp.einsum(eqn, x, params["w"].astype(dtype))
+    if (config := lora_config) and "lora_a" in params:
+        eqn_a, eqn_b = _make_lora_eqns(eqn, config)
+        lora = jnp.einsum(eqn_a, x, params["lora_a"].astype(dtype))
+        lora = jnp.einsum(eqn_b, lora, params["lora_b"].astype(dtype))
+        result = result + lora * config.scaling_value
+    return result
+
+
+def _make_lora_eqns(eqn: str, config: LoRAConfig) -> tuple[str, str]:
+    if config.label in eqn:
+        raise ValueError(f"{config.label} already in eqn: {eqn}")
+    if not (m := re.match("(.*),(.*)->(.*)", eqn)):
+        raise ValueError(f"Unsupported einsum eqn: {eqn}")
+    lhs, rhs, out = m.groups()
+    a_label, b_label = (rhs[x] for x in config.axes)
+    label = config.label
+    a_rhs = rhs.replace(b_label, label)
+    a_out = out.replace(b_label, label)
+    eqn_a = f"{lhs},{a_rhs}->{a_out}"
+    b_rhs = rhs.replace(a_label, label)
+    eqn_b = f"{a_out},{b_rhs}->{out}"
+    return eqn_a, eqn_b
+
+
+def init_ffn(rng: jax.Array, features: int, hidden_dim: int, lora_config: LoRAConfig | None) -> dict:
+    """Init the Gemma gated-FFN weight dict (names match reference FeedForward params)."""
+    k1, k2, k3, k4 = jax.random.split(rng, 4)
+    params = {
+        "gating_einsum": _lecun_normal_batched(k1, (2, features, hidden_dim), in_axis=-2, out_axis=-1),
+        "linear": _lecun_normal(k2, (hidden_dim, features)),
+    }
+    if config := lora_config:
+        params["gating_einsum_lora_a"] = config.init_stddev * jax.random.normal(k3, (2, features, config.rank))
+        params["gating_einsum_lora_b"] = config.init_stddev * jax.random.normal(
+            jax.random.fold_in(k3, 1), (2, config.rank, hidden_dim)
+        )
+        params["linear_lora_a"] = config.init_stddev * jax.random.normal(k4, (hidden_dim, config.rank))
+        params["linear_lora_b"] = config.init_stddev * jax.random.normal(
+            jax.random.fold_in(k4, 1), (config.rank, features)
+        )
+    return params
+
+
+def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
+    """Gated-GELU FFN with optional (unscaled, reference-parity) LoRA terms."""
+
+    def dot(x, w, lora_ab):
+        base = jnp.dot(x, w.astype(x.dtype))
+        if lora_ab is None:
+            return base
+        a, b = lora_ab
+        return base + jnp.dot(jnp.dot(x, a.astype(x.dtype)), b.astype(x.dtype))
+
+    has_lora = "gating_einsum_lora_a" in params
+    gating = params["gating_einsum"]
+    ff_gate = dot(
+        x,
+        gating[0],
+        (params["gating_einsum_lora_a"][0], params["gating_einsum_lora_b"][0]) if has_lora else None,
+    )
+    gate_value = jax.nn.gelu(ff_gate)
+    ff1 = dot(
+        x,
+        gating[1],
+        (params["gating_einsum_lora_a"][1], params["gating_einsum_lora_b"][1]) if has_lora else None,
+    )
+    activations = gate_value * ff1
+    return dot(
+        activations,
+        params["linear"],
+        (params["linear_lora_a"], params["linear_lora_b"]) if "linear_lora_a" in params else None,
+    )
+
+
+# --------------------------------------------------------------------------------------
+# Initializers (lecun_normal with explicit in/out axes, as flax nn.initializers)
+# --------------------------------------------------------------------------------------
+
+
+def _lecun_normal(rng, shape, in_axis=-2, out_axis=-1):
+    import flax.linen as nn
+
+    return nn.initializers.lecun_normal(in_axis=in_axis, out_axis=out_axis)(rng, shape)
+
+
+def _lecun_normal_batched(rng, shape, in_axis=-2, out_axis=-1, batch_axis=(0,)):
+    import flax.linen as nn
+
+    return nn.initializers.lecun_normal(in_axis=in_axis, out_axis=out_axis, batch_axis=batch_axis)(rng, shape)

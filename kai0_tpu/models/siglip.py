@@ -1,0 +1,220 @@
+"""SigLIP ViT image encoder — functional JAX, TPU-first.
+
+Behavioral counterpart of reference ``src/openpi/models/siglip.py`` (big_vision ViT,
+So400m/14 with ``pool_type="none"`` for the π₀ family → 256 patch tokens per image).
+Parameter names/layout match the reference checkpoint contract (flax linen naming,
+encoder blocks stacked on a leading depth axis as produced by ``nn.scan``):
+
+``embedding/{kernel,bias}``, ``pos_embedding``,
+``Transformer/encoderblock/{LayerNorm_0,MultiHeadDotProductAttention_0/{query,key,
+value,out},LayerNorm_1,MlpBlock_0/{Dense_0,Dense_1}}``, ``Transformer/encoder_norm``,
+``head/{kernel,bias}``.
+
+Numerics checkpoints (siglip.py:211-239): patch conv + posemb in f32, encoder body in
+the model compute dtype (bf16), LayerNorms computed by upcasting to f32 internally
+(flax LayerNorm semantics), zero-init head.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kai0_tpu.parallel import sharding as _sharding
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    num_classes: int
+    width: int = 1152
+    depth: int = 27
+    mlp_dim: int = 4304
+    num_heads: int = 16
+    patch_size: tuple[int, int] = (14, 14)
+    posemb: str = "learn"
+    pool_type: str = "none"
+    head_zeroinit: bool = True
+    dtype_mm: str = "float32"
+
+
+_VARIANTS = {
+    # width, depth, mlp_dim, num_heads — Table 2 of arXiv:2106.04560 (reference siglip.py:298-373)
+    "mu": (32, 1, 128, 2),
+    "Ti": (192, 12, 768, 3),
+    "S": (384, 12, 1536, 6),
+    "M": (512, 12, 2048, 8),
+    "B": (768, 12, 3072, 12),
+    "L": (1024, 24, 4096, 16),
+    "So400m": (1152, 27, 4304, 16),
+    "H": (1280, 32, 5120, 16),
+}
+
+
+def decode_variant(variant: str) -> dict:
+    v, patch = variant, {}
+    if "/" in variant:
+        v, p = variant.split("/")
+        patch = {"patch_size": (int(p), int(p))}
+    width, depth, mlp_dim, num_heads = _VARIANTS[v]
+    return {"width": width, "depth": depth, "mlp_dim": mlp_dim, "num_heads": num_heads, **patch}
+
+
+def get_config(num_classes: int, variant: str = "So400m/14", dtype_mm: str = "float32") -> Config:
+    return Config(num_classes=num_classes, dtype_mm=dtype_mm, **decode_variant(variant))
+
+
+# --------------------------------------------------------------------------------------
+# Init
+# --------------------------------------------------------------------------------------
+
+
+def init(rng: jax.Array, config: Config, image_resolution: tuple[int, int] = (224, 224)) -> dict:
+    import flax.linen as nn
+
+    keys = iter(jax.random.split(rng, 16))
+    w, d = config.width, config.depth
+    ph, pw = config.patch_size
+    grid = (image_resolution[0] // ph) * (image_resolution[1] // pw)
+    head_dim = w // config.num_heads
+
+    xavier = nn.initializers.xavier_uniform()
+
+    def dense(k, din, dout):
+        k1, k2 = jax.random.split(k)
+        return {"kernel": xavier(k1, (din, dout)), "bias": 1e-6 * jax.random.normal(k2, (dout,))}
+
+    def stack_tree(init_fn, key):
+        trees = [init_fn(k) for k in jax.random.split(key, d)]
+        return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+    def block(k):
+        k1, k2, k3, k4, k5, k6, k7 = jax.random.split(k, 7)
+        return {
+            "LayerNorm_0": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+            "MultiHeadDotProductAttention_0": {
+                "query": {
+                    "kernel": xavier(k1, (w, config.num_heads * head_dim)).reshape(w, config.num_heads, head_dim),
+                    "bias": jnp.zeros((config.num_heads, head_dim)),
+                },
+                "key": {
+                    "kernel": xavier(k2, (w, config.num_heads * head_dim)).reshape(w, config.num_heads, head_dim),
+                    "bias": jnp.zeros((config.num_heads, head_dim)),
+                },
+                "value": {
+                    "kernel": xavier(k3, (w, config.num_heads * head_dim)).reshape(w, config.num_heads, head_dim),
+                    "bias": jnp.zeros((config.num_heads, head_dim)),
+                },
+                "out": {
+                    "kernel": xavier(k4, (config.num_heads * head_dim, w)).reshape(config.num_heads, head_dim, w),
+                    "bias": jnp.zeros((w,)),
+                },
+            },
+            "LayerNorm_1": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+            "MlpBlock_0": {"Dense_0": dense(k5, w, config.mlp_dim), "Dense_1": dense(k6, config.mlp_dim, w)},
+        }
+
+    params = {
+        "embedding": {
+            "kernel": nn.initializers.lecun_normal()(next(keys), (ph, pw, 3, w)),
+            "bias": jnp.zeros((w,)),
+        },
+        "pos_embedding": nn.initializers.normal(stddev=1 / np.sqrt(w))(next(keys), (1, grid, w)),
+        "Transformer": {
+            "encoderblock": stack_tree(block, next(keys)),
+            "encoder_norm": {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))},
+        },
+    }
+    if config.num_classes:
+        params["head"] = {
+            "kernel": jnp.zeros((w, config.num_classes))
+            if config.head_zeroinit
+            else xavier(next(keys), (w, config.num_classes)),
+            "bias": jnp.zeros((config.num_classes,)),
+        }
+    return params
+
+
+# --------------------------------------------------------------------------------------
+# Apply
+# --------------------------------------------------------------------------------------
+
+
+def _layer_norm(params: dict, x: jax.Array) -> jax.Array:
+    dtype = x.dtype
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    normed = (xf - mean) * jax.lax.rsqrt(var + 1e-6)
+    return (normed * params["scale"] + params["bias"]).astype(dtype)
+
+
+def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
+    """Flax-style MultiHeadDotProductAttention (bidirectional, f32 softmax)."""
+    dtype = x.dtype
+    q = jnp.einsum("btd,dnh->btnh", x, params["query"]["kernel"].astype(dtype)) + params["query"]["bias"].astype(dtype)
+    k = jnp.einsum("bsd,dnh->bsnh", x, params["key"]["kernel"].astype(dtype)) + params["key"]["bias"].astype(dtype)
+    v = jnp.einsum("bsd,dnh->bsnh", x, params["value"]["kernel"].astype(dtype)) + params["value"]["bias"].astype(dtype)
+    head_dim = q.shape[-1]
+    logits = jnp.einsum("btnh,bsnh->bnts", q / np.sqrt(head_dim), k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    encoded = jnp.einsum("bnts,bsnh->btnh", probs, v)
+    return jnp.einsum("btnh,nhd->btd", encoded, params["out"]["kernel"].astype(dtype)) + params["out"]["bias"].astype(
+        dtype
+    )
+
+
+def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
+    dtype = x.dtype
+    x = jnp.dot(x, params["Dense_0"]["kernel"].astype(dtype)) + params["Dense_0"]["bias"].astype(dtype)
+    x = jax.nn.gelu(x)
+    return jnp.dot(x, params["Dense_1"]["kernel"].astype(dtype)) + params["Dense_1"]["bias"].astype(dtype)
+
+
+def _encoder_block(block_params: dict, x: jax.Array, num_heads: int) -> jax.Array:
+    x = _sharding.activation_sharding_constraint(x)
+    y = _layer_norm(block_params["LayerNorm_0"], x)
+    y = _mhsa(block_params["MultiHeadDotProductAttention_0"], y, num_heads)
+    y = _sharding.activation_sharding_constraint(y)
+    x = x + y
+    y = _layer_norm(block_params["LayerNorm_1"], x)
+    y = _mlp_block(block_params["MlpBlock_0"], y)
+    y = _sharding.activation_sharding_constraint(y)
+    x = x + y
+    return _sharding.activation_sharding_constraint(x)
+
+
+def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
+    """Encode ``[B, H, W, 3]`` images in [-1, 1] to patch tokens ``[B, N, num_classes]``."""
+    # Patch extraction + posemb in f32 (reference siglip.py:211-229).
+    image = jnp.asarray(image, jnp.float32)
+    x = jax.lax.conv_general_dilated(
+        image,
+        params["embedding"]["kernel"].astype(jnp.float32),
+        window_strides=config.patch_size,
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + params["embedding"]["bias"].astype(jnp.float32)
+    n, h, w, c = x.shape
+    x = x.reshape(n, h * w, c)
+    x = x + params["pos_embedding"]
+
+    # Encoder in the model compute dtype, scanning stacked blocks with remat.
+    x = x.astype(config.dtype_mm)
+
+    def scan_body(x, block_params):
+        return _encoder_block(block_params, x, config.num_heads), None
+
+    body = jax.checkpoint(scan_body, policy=jax.checkpoint_policies.nothing_saveable, prevent_cse=False)
+    x, _ = jax.lax.scan(body, x, params["Transformer"]["encoderblock"])
+    x = _layer_norm(params["Transformer"]["encoder_norm"], x)
+
+    if config.pool_type != "none":
+        raise NotImplementedError(f"pool_type {config.pool_type!r}: the π₀ family uses 'none'")
+
+    if config.num_classes:
+        dtype = x.dtype
+        x = jnp.dot(x, params["head"]["kernel"].astype(dtype)) + params["head"]["bias"].astype(dtype)
+    return x

@@ -1,0 +1,62 @@
+"""Masked grouped-query attention core.
+
+Numerics parity with reference ``src/openpi/models/gemma.py:216-231``: attention
+logits accumulate in float32 (MXU ``preferred_element_type``), the Gemma ``big_neg``
+constant (-2.3819763e38) masks invalid positions, softmax runs in float32 and the
+result is cast back to the activation dtype before the value matmul.
+
+Two interchangeable implementations:
+
+- ``mha_reference``: plain einsum formulation. XLA fuses this well for the ~1k-token
+  sequences the π₀ family uses; it is the numerics golden path.
+- ``mha``: dispatcher that can route to a fused Pallas kernel on TPU for the hot
+  shapes (see ``kai0_tpu/ops/pallas_attention.py``); falls back to the reference path
+  on CPU/interpret mode or unsupported shapes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BIG_NEG = -2.3819763e38  # Gemma's masking constant (gemma/modules.py via reference gemma.py:225)
+
+
+def mha_reference(
+    q: jax.Array,  # [B, T, N, H] already RoPE'd and scaled
+    k: jax.Array,  # [B, S, K, H] already RoPE'd
+    v: jax.Array,  # [B, S, K, H]
+    attn_mask: jax.Array,  # bool[B, T, S] or bool[B, 1, T, S]
+) -> jax.Array:
+    """Grouped-query attention with f32 logits/softmax. Returns [B, T, N, H]."""
+    dtype = q.dtype
+    num_kv_heads = k.shape[2]
+    b, t, n, h = q.shape
+    q = q.reshape(b, t, num_kv_heads, n // num_kv_heads, h)
+    logits = jnp.einsum("BTKGH,BSKH->BKGTS", q, k, preferred_element_type=jnp.float32)
+    if attn_mask.ndim == 3:
+        attn_mask = attn_mask[:, None, :, :]
+    masked_logits = jnp.where(attn_mask[:, :, None, :, :], logits, BIG_NEG)
+    probs = jax.nn.softmax(masked_logits, axis=-1).astype(dtype)
+    encoded = jnp.einsum("BKGTS,BSKH->BTKGH", probs, v)
+    return encoded.reshape(b, t, n, h)
+
+
+def mha(q: jax.Array, k: jax.Array, v: jax.Array, attn_mask: jax.Array, *, use_kernel: bool = True) -> jax.Array:
+    """Attention dispatcher: fused Pallas kernel on TPU when profitable, else reference."""
+    if use_kernel and _kernel_supported(q, k, v):
+        from kai0_tpu.ops import pallas_attention
+
+        try:
+            return pallas_attention.flash_mha(q, k, v, attn_mask)
+        except Exception:  # noqa: BLE001 - kernel unavailable (e.g. interpret limits): fall back
+            return mha_reference(q, k, v, attn_mask)
+    return mha_reference(q, k, v, attn_mask)
+
+
+def _kernel_supported(q, k, v) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    # The fused kernel targets the π₀ hot shapes: head_dim a multiple of 128 wide
+    # lanes is not required, but tiny dims are not worth the launch overhead.
+    return q.shape[-1] >= 64 and k.shape[1] >= 128

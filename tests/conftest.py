@@ -1,0 +1,18 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All tests run on CPU with 8 virtual devices (XLA host-platform partitioning) so that
+multi-chip `(batch, fsdp)` sharding paths compile and execute in CI without TPU
+hardware. Mirrors the reference's CPU-fallback conftest (src/openpi/conftest.py:7-18),
+extended with the virtual device mesh recommended by SURVEY.md §4.
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "packages", "kai0-client", "src"))
