@@ -1,0 +1,145 @@
+"""Model forward/sampling shape + numerics tests on the dummy variants.
+
+Mirrors reference ``src/openpi/models/model_test.py`` (shape tests for pi0 / pi05 /
+lora variants on tiny configs) with added determinism and mask-semantics checks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kai0_tpu.models import pi0 as _pi0
+from kai0_tpu.ops.masks import make_attn_mask
+
+
+def _debug_config(**kwargs):
+    return _pi0.Pi0Config(
+        paligemma_variant="dummy",
+        action_expert_variant="dummy",
+        vision_variant="mu/14",
+        dtype="float32",
+        **kwargs,
+    )
+
+
+@pytest.fixture(scope="module")
+def pi0_setup():
+    config = _debug_config()
+    params = config.init_params(jax.random.key(0))
+    return config, params
+
+
+@pytest.fixture(scope="module")
+def pi05_setup():
+    config = _debug_config(pi05=True)
+    params = config.init_params(jax.random.key(0))
+    return config, params
+
+
+def test_make_attn_mask_prefix_lm():
+    input_mask = jnp.ones((1, 6), dtype=bool)
+    ar = jnp.array([[0, 0, 0, 1, 1, 1]], dtype=bool)
+    mask = make_attn_mask(input_mask, ar)
+    expected = np.array(
+        [
+            [1, 1, 1, 0, 0, 0],
+            [1, 1, 1, 0, 0, 0],
+            [1, 1, 1, 0, 0, 0],
+            [1, 1, 1, 1, 0, 0],
+            [1, 1, 1, 1, 1, 0],
+            [1, 1, 1, 1, 1, 1],
+        ],
+        dtype=bool,
+    )
+    np.testing.assert_array_equal(np.asarray(mask[0]), expected)
+
+
+def test_make_attn_mask_padding():
+    input_mask = jnp.array([[1, 1, 0]], dtype=bool)
+    ar = jnp.zeros((1, 3), dtype=bool)
+    mask = make_attn_mask(input_mask, ar)
+    assert not np.asarray(mask)[0, :, 2].any()
+    assert not np.asarray(mask)[0, 2, :].any()
+
+
+def test_pi0_loss_shape(pi0_setup):
+    config, params = pi0_setup
+    obs = config.fake_obs(batch_size=2)
+    actions = config.fake_act(batch_size=2)
+    loss = config.compute_loss(params, jax.random.key(0), obs, actions)
+    assert loss.shape == (2, config.action_horizon)
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_pi0_train_loss_with_augmentation(pi0_setup):
+    config, params = pi0_setup
+    obs = config.fake_obs(batch_size=2)
+    actions = config.fake_act(batch_size=2)
+    loss = config.compute_loss(params, jax.random.key(0), obs, actions, train=True)
+    assert loss.shape == (2, config.action_horizon)
+    assert np.isfinite(np.asarray(loss)).all()
+
+
+def test_pi0_sample_actions_shape_and_determinism(pi0_setup):
+    config, params = pi0_setup
+    obs = config.fake_obs(batch_size=2)
+    a1 = config.sample_actions(params, jax.random.key(0), obs)
+    a2 = config.sample_actions(params, jax.random.key(0), obs)
+    assert a1.shape == (2, config.action_horizon, config.action_dim)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    assert np.isfinite(np.asarray(a1)).all()
+
+
+def test_pi05_loss_and_sample(pi05_setup):
+    config, params = pi05_setup
+    assert "time_mlp_in" in params
+    assert "state_proj" not in params
+    # adaRMS: expert-1 norms carry a zero-init Dense instead of a scale.
+    assert "Dense_0" in params["PaliGemma"]["llm"]["layers"]["pre_attention_norm_1"]
+    obs = config.fake_obs(batch_size=2)
+    actions = config.fake_act(batch_size=2)
+    loss = config.compute_loss(params, jax.random.key(0), obs, actions)
+    assert loss.shape == (2, config.action_horizon)
+    sample = config.sample_actions(params, jax.random.key(1), obs, num_steps=2)
+    assert sample.shape == (2, config.action_horizon, config.action_dim)
+    assert np.isfinite(np.asarray(sample)).all()
+
+
+def test_pi0_lora_params_and_freeze_filter():
+    config = _debug_config()
+    config = _pi0.Pi0Config(
+        paligemma_variant="dummy",
+        action_expert_variant="dummy",
+        vision_variant="mu/14",
+        dtype="float32",
+    )
+    # Simulate lora by building a gemma_300m_lora-style filter check only (params for
+    # dummy variants carry no lora).
+    frozen = _pi0.make_freeze_filter("gemma_2b_lora", "gemma_300m")
+    assert frozen("PaliGemma/llm/layers/attn/q_einsum/w")
+    assert not frozen("PaliGemma/llm/layers/attn/q_einsum_1/w")  # action expert trains
+    assert not frozen("PaliGemma/llm/layers/attn/q_einsum/lora_a")
+    assert not frozen("action_out_proj/kernel")
+
+    frozen_both = _pi0.make_freeze_filter("gemma_2b_lora", "gemma_300m_lora")
+    assert frozen_both("PaliGemma/llm/layers/attn/q_einsum_1/w")
+    assert not frozen_both("PaliGemma/llm/layers/attn/q_einsum_1/lora_b")
+
+    frozen_none = _pi0.make_freeze_filter("gemma_2b", "gemma_300m")
+    assert not frozen_none("PaliGemma/llm/layers/attn/q_einsum/w")
+
+
+def test_sample_actions_consistent_with_velocity_steps(pi0_setup):
+    """One Euler step with num_steps=1 equals noise + dt*v(noise, 1)."""
+    config, params = pi0_setup
+    obs = config.fake_obs(batch_size=1)
+    noise = jax.random.normal(jax.random.key(3), (1, config.action_horizon, config.action_dim))
+    sampled = config.sample_actions(params, jax.random.key(0), obs, num_steps=1, noise=noise)
+
+    from kai0_tpu.models import model as _model
+
+    processed = _model.preprocess_observation(None, obs, train=False)
+    kv, pmask = _pi0.compute_prefix_kv_cache(params, config, processed)
+    v = _pi0.compute_velocity(params, config, processed, kv, pmask, noise, jnp.asarray(1.0))
+    np.testing.assert_allclose(np.asarray(sampled), np.asarray(noise - v), atol=1e-5)
