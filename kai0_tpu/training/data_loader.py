@@ -1,0 +1,256 @@
+"""Data loading: datasets, transform application, batching, device placement.
+
+Behavioral counterpart of reference ``src/openpi/training/data_loader.py``:
+``Dataset``/``DataLoader`` protocols, ``TransformedDataset``, ``FakeDataset`` from
+``inputs_spec``, LeRobot-style chunked action sequences via delta timestamps, the
+transform assembly order (repack → data → Normalize → model), and batches delivered as
+``(Observation, actions)`` with arrays already placed on device with the data sharding.
+
+TPU-native redesign of the execution: instead of torch worker *processes* +
+``jax.make_array_from_process_local_data`` (reference :533), loading runs in a
+thread-pool pipeline with double-buffered ``jax.device_put`` into HBM — numpy work
+releases the GIL (parquet decode, cv2 ops), and the device transfer of the *next*
+batch overlaps the current train step. The reference's "jax.process_count() > 1 is
+unsupported" restriction (:479-480) does not exist here: per-process shards are
+assembled with ``jax.make_array_from_process_local_data`` when running multi-host.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+from collections.abc import Iterator, Sequence
+from typing import Protocol, TypeVar, runtime_checkable
+
+import jax
+import numpy as np
+
+from kai0_tpu.models import model as _model
+from kai0_tpu import transforms as _transforms
+
+T_co = TypeVar("T_co", covariant=True)
+
+
+@runtime_checkable
+class Dataset(Protocol[T_co]):
+    def __getitem__(self, index: int) -> T_co: ...
+
+    def __len__(self) -> int: ...
+
+
+class DataLoader(Protocol):
+    def data_config(self) -> "object": ...
+
+    def __iter__(self) -> Iterator[tuple[_model.Observation, np.ndarray]]: ...
+
+
+class TransformedDataset:
+    def __init__(self, dataset: Dataset, transforms: Sequence[_transforms.DataTransformFn]):
+        self._dataset = dataset
+        self._transform = _transforms.compose(transforms)
+
+    def __getitem__(self, index: int) -> dict:
+        return self._transform(self._dataset[index])
+
+    def __len__(self) -> int:
+        return len(self._dataset)
+
+
+class FakeDataset:
+    """Random tensors drawn from the model's ``inputs_spec`` (reference :100-128)."""
+
+    def __init__(self, model_config, num_samples: int):
+        self._num_samples = num_samples
+        self._observation_spec, self._action_spec = model_config.inputs_spec()
+
+    def __getitem__(self, index: int) -> dict:
+        rng = np.random.default_rng(index)
+
+        def make_from_spec(spec: jax.ShapeDtypeStruct):
+            shape = spec.shape[1:]  # drop batch dim: samples are unbatched
+            if spec.dtype == np.bool_:
+                return rng.random(size=shape) > 0.5
+            if np.issubdtype(spec.dtype, np.integer):
+                return rng.integers(0, 1000, size=shape).astype(spec.dtype)
+            return rng.standard_normal(size=shape).astype(spec.dtype)
+
+        observation = jax.tree.map(make_from_spec, self._observation_spec)
+        action = make_from_spec(self._action_spec)
+        return {**observation.to_dict(), "actions": action}
+
+    def __len__(self) -> int:
+        return self._num_samples
+
+
+def transform_stack(data_config, model_config) -> list:
+    """The canonical input-transform order (reference :233-281):
+    repack → robot data transforms → Normalize → model transforms."""
+    norm_stats = None if getattr(data_config, "skip_norm_stats", False) else data_config.norm_stats
+    return [
+        *data_config.repack_transforms.inputs,
+        *data_config.data_transforms.inputs,
+        _transforms.Normalize(norm_stats, use_quantiles=data_config.use_quantile_norm),
+        *data_config.model_transforms.inputs,
+    ]
+
+
+def create_dataset(data_config, model_config) -> Dataset:
+    """Dataset dispatch: fake data, or a LeRobot parquet dataset with action chunking."""
+    repo_id = data_config.repo_id
+    if repo_id is None or repo_id == "fake":
+        return FakeDataset(model_config, num_samples=1024)
+
+    from kai0_tpu.data import lerobot_dataset
+
+    dataset = lerobot_dataset.LeRobotDataset(
+        repo_id,
+        action_horizon=model_config.action_horizon,
+        action_sequence_keys=tuple(data_config.action_sequence_keys),
+    )
+    if data_config.prompt_from_task:
+        return TransformedDataset(dataset, [_transforms.PromptFromLeRobotTask(dataset.tasks)])
+    return dataset
+
+
+@dataclasses.dataclass
+class _LoaderState:
+    epoch: int = 0
+
+
+class NumpyDataLoader:
+    """Thread-pooled, prefetching loader producing sharded device batches."""
+
+    def __init__(
+        self,
+        dataset: Dataset,
+        *,
+        local_batch_size: int,
+        sharding: jax.sharding.Sharding,
+        shuffle: bool = True,
+        num_workers: int = 2,
+        seed: int = 0,
+        num_batches: int | None = None,
+        drop_last: bool = True,
+    ):
+        if len(dataset) < local_batch_size:
+            raise ValueError(f"Local batch size ({local_batch_size}) is larger than the dataset ({len(dataset)}).")
+        self._dataset = dataset
+        self._batch_size = local_batch_size
+        self._sharding = sharding
+        self._shuffle = shuffle
+        self._num_workers = max(1, num_workers)
+        self._seed = seed
+        self._num_batches = num_batches
+        self._drop_last = drop_last
+
+    def _index_stream(self) -> Iterator[np.ndarray]:
+        epoch = 0
+        while True:
+            order = np.arange(len(self._dataset))
+            if self._shuffle:
+                order = np.random.default_rng(self._seed + epoch).permutation(order)
+            limit = (len(order) // self._batch_size) * self._batch_size if self._drop_last else len(order)
+            for start in range(0, limit, self._batch_size):
+                yield order[start : start + self._batch_size]
+            epoch += 1
+
+    def __iter__(self):
+        import concurrent.futures
+
+        indices = self._index_stream()
+        produced = 0
+
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=self._num_workers)
+        prefetch: queue.Queue = queue.Queue(maxsize=2)
+        stop = threading.Event()
+
+        def collate(batch_indices):
+            items = list(pool.map(self._dataset.__getitem__, batch_indices))
+            return jax.tree.map(lambda *xs: np.stack(xs), *items)
+
+        def producer():
+            try:
+                for batch_indices in indices:
+                    if stop.is_set():
+                        return
+                    batch = collate(batch_indices)
+                    # Place on device ahead of consumption (overlaps the train step).
+                    device_batch = jax.tree.map(
+                        lambda x: _make_global_array(x, self._sharding), batch
+                    )
+                    prefetch.put(device_batch)
+            except Exception as e:  # noqa: BLE001
+                prefetch.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+
+        try:
+            while self._num_batches is None or produced < self._num_batches:
+                item = prefetch.get()
+                if isinstance(item, Exception):
+                    raise item
+                actions = item.pop("actions")
+                yield _model.Observation.from_dict(item), actions
+                produced += 1
+        finally:
+            stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
+
+
+def _make_global_array(x: np.ndarray, sharding: jax.sharding.Sharding):
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, x)
+    return jax.device_put(x, sharding)
+
+
+class DataLoaderImpl:
+    """Binds a data config to a loader (for checkpoint asset saving, reference :597-607)."""
+
+    def __init__(self, data_config, loader):
+        self._data_config = data_config
+        self._loader = loader
+
+    def data_config(self):
+        return self._data_config
+
+    def __iter__(self):
+        yield from self._loader
+
+
+def create_data_loader(
+    config,
+    *,
+    sharding: jax.sharding.Sharding | None = None,
+    shuffle: bool = True,
+    num_batches: int | None = None,
+    skip_norm_stats: bool = False,
+) -> DataLoaderImpl:
+    """Create the training data loader from a ``TrainConfig`` (reference :284-330)."""
+    data_config = config.data.create(config.assets_dirs, config.model)
+    if skip_norm_stats or config.skip_norm_stats:
+        data_config = dataclasses.replace(data_config, norm_stats=None)
+
+    dataset = create_dataset(data_config, config.model)
+    dataset = TransformedDataset(dataset, transform_stack(data_config, config.model))
+
+    if sharding is None:
+        sharding = jax.sharding.NamedSharding(
+            jax.sharding.Mesh(jax.devices(), ("B",)), jax.sharding.PartitionSpec("B")
+        )
+
+    if config.batch_size % jax.process_count() != 0:
+        raise ValueError(f"Batch size {config.batch_size} must be divisible by process count.")
+
+    loader = NumpyDataLoader(
+        dataset,
+        local_batch_size=config.batch_size // jax.process_count(),
+        sharding=sharding,
+        shuffle=shuffle,
+        num_workers=config.num_workers,
+        seed=config.seed,
+        num_batches=num_batches,
+        drop_last=config.drop_last,
+    )
+    return DataLoaderImpl(data_config, loader)

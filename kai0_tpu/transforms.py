@@ -324,7 +324,7 @@ def flatten_dict(tree: dict, sep: str = "/") -> dict:
     out = {}
 
     def rec(node, prefix):
-        if isinstance(node, dict) and node:
+        if isinstance(node, dict):
             for k, v in node.items():
                 rec(v, f"{prefix}{sep}{k}" if prefix else str(k))
         else:
