@@ -1,0 +1,134 @@
+"""Headline benchmark: π₀.₅ fine-tune throughput, samples/sec/chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+What runs: the full jitted train step (SigLIP ×3 cams + Gemma-2B prefix + 300M
+action expert, flow-matching loss, AdamW update, activation/param sharding over the
+local mesh) on fake device-resident batches — the measure is compute throughput of
+the hot loop, matching the reference's training hot path (scripts/train.py:267-281).
+
+On a single 16 GB chip the full-precision AdamW state of the 3B model does not fit
+(the reference needs >70 GB for full fine-tune, README.md:73-77), so single-chip runs
+measure the LoRA fine-tune step (frozen bf16 base + f32 LoRA — the same configuration
+the reference documents for single-GPU training, README.md:76). With ≥4 chips the
+full fine-tune state is FSDP-sharded and the full step is measured.
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The
+baseline used here is an analytic A100 estimate for the same step: ~14 TFLOP/sample
+(3 × 2 × active-params × tokens) at 30% MFU on a 312 TFLOPs A100 → 6.7 samples/s.
+The driver target is ≥2× that per chip, i.e. vs_baseline ≥ 2.0 means target met.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_SAMPLES_PER_SEC = 6.7  # analytic estimate, see module docstring
+
+
+def build(config, mesh, batch_size: int):
+    from kai0_tpu.parallel import sharding
+    from kai0_tpu.training import config as _config
+    from kai0_tpu.training import train_lib
+
+    train_config = dataclasses.replace(
+        _config.get_config("debug"),
+        model=config,
+        batch_size=batch_size,
+        exp_name="bench",
+        fsdp_devices=mesh.shape[sharding.FSDP_AXIS],
+        ema_decay=None,  # EMA doubles param HBM; reference kai0 configs disable it too
+    )
+    rng = jax.random.key(0)
+    state, state_sharding, tx, trainable_mask = train_lib.init_train_state(
+        train_config, rng, mesh, resume=False
+    )
+    data_sharding = sharding.data_sharding(mesh)
+    replicated = sharding.replicated(mesh)
+
+    obs = config.fake_obs(batch_size)
+    actions = config.fake_act(batch_size)
+    batch = jax.device_put((obs, actions), data_sharding)
+
+    step = jax.jit(
+        functools.partial(train_lib.train_step, train_config, tx, trainable_mask),
+        in_shardings=(replicated, state_sharding, data_sharding),
+        out_shardings=(state_sharding, replicated),
+        donate_argnums=(1,),
+    )
+    return step, state, batch, rng
+
+
+def main():
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.parallel import sharding
+
+    backend = jax.default_backend()
+    n_chips = jax.device_count()
+
+    if backend == "tpu" and n_chips >= 4:
+        model = _pi0.Pi0Config(pi05=True)
+        mode = "full"
+        batch_size = 8 * n_chips
+        fsdp = n_chips
+    elif backend == "tpu":
+        model = _pi0.Pi0Config(
+            pi05=True,
+            paligemma_variant="gemma_2b_lora",
+            action_expert_variant="gemma_300m_lora",
+        )
+        mode = "lora"
+        batch_size = 16 * n_chips
+        fsdp = 1
+    else:  # CPU smoke mode so the bench is runnable anywhere
+        model = _pi0.Pi0Config(
+            pi05=True,
+            paligemma_variant="dummy",
+            action_expert_variant="dummy",
+            vision_variant="mu/14",
+            dtype="float32",
+        )
+        mode = "smoke"
+        batch_size = 2
+        fsdp = 1
+
+    mesh = sharding.make_mesh(fsdp)
+    print(f"bench: backend={backend} chips={n_chips} mode={mode} batch={batch_size}", file=sys.stderr)
+
+    step, state, batch, rng = build(model, mesh, batch_size)
+
+    with sharding.set_mesh(mesh):
+        # Warmup: compile + 2 steps.
+        t0 = time.time()
+        state, info = step(rng, state, batch)
+        jax.block_until_ready(info["loss"])
+        print(f"bench: compile+step {time.time() - t0:.1f}s loss={float(info['loss']):.4f}", file=sys.stderr)
+        state, info = step(rng, state, batch)
+        jax.block_until_ready(info["loss"])
+
+        n_steps = 10 if mode != "smoke" else 3
+        t0 = time.time()
+        for _ in range(n_steps):
+            state, info = step(rng, state, batch)
+        jax.block_until_ready(info["loss"])
+        elapsed = time.time() - t0
+
+    samples_per_sec_per_chip = batch_size * n_steps / elapsed / n_chips
+    result = {
+        "metric": f"pi05_{mode}_finetune_throughput",
+        "value": round(samples_per_sec_per_chip, 3),
+        "unit": "samples/s/chip",
+        "vs_baseline": round(samples_per_sec_per_chip / A100_BASELINE_SAMPLES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

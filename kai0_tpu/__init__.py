@@ -11,3 +11,31 @@ file:line citations in docstrings refer to that tree.
 """
 
 __version__ = "0.1.0"
+
+
+def _setup_compilation_cache() -> None:
+    """Enable the persistent XLA compilation cache (off: KAI0_NO_COMPILE_CACHE=1).
+
+    First-compile of the 3B serve/train programs is minutes; the persistent cache
+    makes every later process (serve restarts, bench runs, tests) hit warm. JAX only
+    reads these config values at first backend use, so setting them at import time
+    is safe even though jax may already be imported.
+    """
+    import os
+
+    if os.environ.get("KAI0_NO_COMPILE_CACHE") == "1":
+        return
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/kai0_tpu/xla_cache")
+        )
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 - cache is an optimization, never fatal
+        pass
+
+
+_setup_compilation_cache()

@@ -164,7 +164,9 @@ class PaligemmaTokenizer:
                 )
             tokens = tokens[: self._max_len]
             mask = [True] * self._max_len
-        return np.asarray(tokens), np.asarray(mask)
+        # int32: matches the model input spec; int64 would silently compile a second
+        # program variant at serve time (first-request latency).
+        return np.asarray(tokens, dtype=np.int32), np.asarray(mask, dtype=bool)
 
 
 # --------------------------------------------------------------------------------------
@@ -216,12 +218,22 @@ class DCTActionCodec:
 
 
 def _default_fast_codec(fast_tokenizer_path: str):
+    # Local cache first (no network stall); hub download only when opted in via
+    # KAI0_ALLOW_HUB=1. Falls back to the deterministic DCT codec offline.
     try:
         from transformers import AutoProcessor
 
-        return AutoProcessor.from_pretrained(fast_tokenizer_path, trust_remote_code=True)
-    except Exception:  # noqa: BLE001 - offline: deterministic DCT codec
-        return DCTActionCodec()
+        return AutoProcessor.from_pretrained(fast_tokenizer_path, trust_remote_code=True, local_files_only=True)
+    except Exception:  # noqa: BLE001
+        pass
+    if os.environ.get("KAI0_ALLOW_HUB") == "1":
+        try:
+            from transformers import AutoProcessor
+
+            return AutoProcessor.from_pretrained(fast_tokenizer_path, trust_remote_code=True)
+        except Exception:  # noqa: BLE001
+            pass
+    return DCTActionCodec()
 
 
 class FASTTokenizer:
@@ -274,7 +286,12 @@ class FASTTokenizer:
             ar_mask = ar_mask[: self._max_len]
             loss_mask = loss_mask[: self._max_len]
 
-        return np.asarray(tokens), np.asarray(token_mask), np.asarray(ar_mask), np.asarray(loss_mask)
+        return (
+            np.asarray(tokens, dtype=np.int32),
+            np.asarray(token_mask, dtype=bool),
+            np.asarray(ar_mask, dtype=np.int32),
+            np.asarray(loss_mask, dtype=bool),
+        )
 
     def extract_actions(self, tokens: np.ndarray, action_horizon: int, action_dim: int) -> np.ndarray:
         """Parse decoded model tokens back into an action chunk (reference :119-134)."""

@@ -57,6 +57,6 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, attn_mask: jax.Array, *, use_k
 def _kernel_supported(q, k, v) -> bool:
     if jax.default_backend() != "tpu":
         return False
-    # The fused kernel targets the π₀ hot shapes: head_dim a multiple of 128 wide
-    # lanes is not required, but tiny dims are not worth the launch overhead.
-    return q.shape[-1] >= 64 and k.shape[1] >= 128
+    # The fused kernel is specialized to MQA (one KV head — true for every Gemma
+    # variant the π₀ family uses) and to shapes where fusion beats launch overhead.
+    return k.shape[2] == 1 and q.shape[-1] >= 64 and k.shape[1] >= 128

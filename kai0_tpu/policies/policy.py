@@ -1,0 +1,143 @@
+"""Policy runtime: transform chains around a jitted ``sample_actions``.
+
+Behavioral parity with reference ``src/openpi/policies/policy.py``: ``infer`` copies
+the observation, applies input transforms on host (resize/tokenize/normalize),
+batches and moves to device, samples an action chunk, unbatches, applies output
+transforms, and reports ``policy_timing.infer_ms``. RTC kwargs
+(``prev_action_chunk``/``inference_delay``/``execute_horizon``) pass through from the
+observation as traced arrays so changing them never recompiles (reference
+policy.py:85-90).
+
+TPU-native deviations: the model is functional (config + params pytree), the jitted
+sampler takes params explicitly (no weight constants baked into the executable), and
+``warmup()`` pre-compiles the sampler before serving traffic so the first request
+doesn't pay the multi-minute jit cost (reference §3.2 note).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import pathlib
+import time
+from collections.abc import Sequence
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from kai0_tpu import transforms as _transforms
+from kai0_tpu.models import model as _model
+
+logger = logging.getLogger("kai0_tpu")
+
+# sample_actions kwargs that are compile-time constants.
+_STATIC_SAMPLE_KWARGS = ("num_steps", "prefix_attention_schedule", "max_guidance_weight")
+
+
+class Policy:
+    def __init__(
+        self,
+        model_config,
+        params: dict,
+        *,
+        rng: jax.Array | None = None,
+        transforms: Sequence[_transforms.DataTransformFn] = (),
+        output_transforms: Sequence[_transforms.DataTransformFn] = (),
+        sample_kwargs: dict[str, Any] | None = None,
+        metadata: dict[str, Any] | None = None,
+    ):
+        self._model_config = model_config
+        self._params = params
+        self._input_transform = _transforms.compose(transforms)
+        self._output_transform = _transforms.compose(output_transforms)
+        self._sample_kwargs = sample_kwargs or {}
+        self._metadata = metadata or {}
+        self._rng = rng if rng is not None else jax.random.key(0)
+
+        def sample(params, sample_rng, observation, **kwargs):
+            return model_config.sample_actions(params, sample_rng, observation, **kwargs)
+
+        self._sample_actions = jax.jit(sample, static_argnames=_STATIC_SAMPLE_KWARGS)
+
+    @property
+    def metadata(self) -> dict[str, Any]:
+        return self._metadata
+
+    @property
+    def model_config(self):
+        return self._model_config
+
+    def infer(self, obs: dict, *, noise: np.ndarray | None = None) -> dict:
+        # Copy: transforms may modify inputs in place.
+        inputs = jax.tree.map(lambda x: x, obs)
+        inputs = self._input_transform(inputs)
+        inputs = jax.tree.map(lambda x: jnp.asarray(x)[np.newaxis, ...], inputs)
+        self._rng, sample_rng = jax.random.split(self._rng)
+
+        sample_kwargs = dict(self._sample_kwargs)
+        for key in ("prev_action_chunk", "inference_delay", "execute_horizon"):
+            if key in obs:
+                sample_kwargs[key] = obs[key]
+        if noise is not None:
+            noise = jnp.asarray(noise)
+            if noise.ndim == 2:
+                noise = noise[None, ...]
+            sample_kwargs["noise"] = noise
+
+        observation = _model.Observation.from_dict(inputs)
+        start_time = time.monotonic()
+        actions = self._sample_actions(self._params, sample_rng, observation, **sample_kwargs)
+        outputs = {"state": inputs["state"], "actions": actions}
+        outputs = jax.tree.map(lambda x: np.asarray(x[0, ...]), outputs)
+        model_time = time.monotonic() - start_time
+
+        outputs = self._output_transform(outputs)
+        outputs["policy_timing"] = {"infer_ms": model_time * 1000}
+        return outputs
+
+    def reset(self) -> None:
+        pass
+
+    def warmup(self, example: dict | None = None) -> float:
+        """Compile the sampler on a fake observation; returns warmup seconds."""
+        start = time.monotonic()
+        if example is None:
+            observation = self._model_config.fake_obs(1)
+            sample_kwargs = dict(self._sample_kwargs)
+            self._sample_actions(self._params, jax.random.key(0), observation, **sample_kwargs)
+        else:
+            self.infer(example)
+        elapsed = time.monotonic() - start
+        logger.info(f"Policy warmup took {elapsed:.1f}s")
+        return elapsed
+
+
+class PolicyRecorder:
+    """Records observations/outputs of a wrapped policy to npy files.
+
+    Parity: reference policy.py:129-151.
+    """
+
+    def __init__(self, policy, record_dir: str):
+        self._policy = policy
+        self._record_dir = pathlib.Path(record_dir)
+        self._record_dir.mkdir(parents=True, exist_ok=True)
+        self._record_step = 0
+        logger.info(f"Dumping policy records to: {self._record_dir}")
+
+    @property
+    def metadata(self) -> dict:
+        return getattr(self._policy, "metadata", {})
+
+    def infer(self, obs: dict) -> dict:
+        results = self._policy.infer(obs)
+        data = _transforms.flatten_dict({"inputs": obs, "outputs": results})
+        output_path = self._record_dir / f"step_{self._record_step}"
+        self._record_step += 1
+        np.save(output_path, np.asarray(data, dtype=object))
+        return results
+
+    def reset(self) -> None:
+        self._policy.reset()

@@ -1,0 +1,77 @@
+"""Policy factory: assemble a trained Policy from a checkpoint.
+
+Parity: reference ``src/openpi/policies/policy_config.py`` — restores bf16 params
+from the Orbax ``params/`` item, loads norm stats from the checkpoint's
+``assets/<asset_id>`` (so serving always uses the stats training used), and builds
+the canonical transform chains:
+
+    inputs : repack → InjectDefaultPrompt → data-in → Normalize → model-in
+    outputs: model-out → Unnormalize → data-out → repack-out
+"""
+
+from __future__ import annotations
+
+import logging
+import pathlib
+from typing import Any
+
+import jax.numpy as jnp
+
+from kai0_tpu import transforms as _transforms
+from kai0_tpu.policies import policy as _policy
+from kai0_tpu.shared import download as _download
+from kai0_tpu.training import checkpoints as _checkpoints
+
+logger = logging.getLogger("kai0_tpu")
+
+
+def create_trained_policy(
+    train_config,
+    checkpoint_dir: pathlib.Path | str,
+    *,
+    repack_transforms: _transforms.Group | None = None,
+    sample_kwargs: dict[str, Any] | None = None,
+    default_prompt: str | None = None,
+    norm_stats: dict | None = None,
+    warmup: bool = False,
+) -> _policy.Policy:
+    repack_transforms = repack_transforms or _transforms.Group()
+    checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
+
+    logger.info(f"Loading model from {checkpoint_dir}...")
+    params = _checkpoints.restore_params(checkpoint_dir / "params", dtype=jnp.bfloat16)
+
+    data_config = train_config.data.create(train_config.assets_dirs, train_config.model)
+    if norm_stats is None and data_config.asset_id is not None:
+        # Load from the checkpoint, not the config assets dir: serving must use the
+        # exact stats the training run used.
+        try:
+            norm_stats = _checkpoints.load_norm_stats(checkpoint_dir / "assets", data_config.asset_id)
+        except FileNotFoundError:
+            logger.warning(
+                f"No norm stats under {checkpoint_dir / 'assets'} for asset {data_config.asset_id}; "
+                "serving without normalization."
+            )
+
+    policy = _policy.Policy(
+        train_config.model,
+        params,
+        transforms=[
+            *repack_transforms.inputs,
+            _transforms.InjectDefaultPrompt(default_prompt),
+            *data_config.data_transforms.inputs,
+            _transforms.Normalize(norm_stats, use_quantiles=data_config.use_quantile_norm),
+            *data_config.model_transforms.inputs,
+        ],
+        output_transforms=[
+            *data_config.model_transforms.outputs,
+            _transforms.Unnormalize(norm_stats, use_quantiles=data_config.use_quantile_norm),
+            *data_config.data_transforms.outputs,
+            *repack_transforms.outputs,
+        ],
+        sample_kwargs=sample_kwargs,
+        metadata=train_config.policy_metadata,
+    )
+    if warmup:
+        policy.warmup()
+    return policy

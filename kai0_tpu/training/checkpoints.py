@@ -200,7 +200,10 @@ def restore_params(
 
     with ocp.PyTreeCheckpointer() as ckptr:
         metadata = ckptr.metadata(params_path)
-        item = {"params": metadata["params"]}
+        # orbax ≥0.11 returns StepMetadata; older versions return the tree directly.
+        tree_metadata = getattr(metadata, "item_metadata", metadata)
+        tree_metadata = getattr(tree_metadata, "tree", tree_metadata)
+        item = {"params": tree_metadata["params"]}
         params = ckptr.restore(
             params_path,
             ocp.args.PyTreeRestore(

@@ -71,6 +71,9 @@ class DataConfig:
     # If true, the LeRobot dataset task defines the prompt (AWBC conditioning).
     prompt_from_task: bool = False
 
+    # Optional episode subset (Model Arithmetic splits, advantage train/val).
+    episodes: Sequence[int] | None = None
+
 
 class GroupFactory(Protocol):
     def __call__(self, model_config) -> _transforms.Group: ...
@@ -230,6 +233,9 @@ class TrainConfig:
 
     # FSDP sharding degree; >1 shards params across this many devices.
     fsdp_devices: int = 1
+    # Arrays smaller than this are replicated rather than FSDP-sharded. Lowered to 0
+    # by the multi-chip dryrun so tiny debug models still exercise param sharding.
+    fsdp_min_size_mbytes: int = 4
 
     @property
     def assets_dirs(self) -> pathlib.Path:
@@ -255,6 +261,15 @@ class TrainConfig:
 # --------------------------------------------------------------------------------------
 # Named configs
 # --------------------------------------------------------------------------------------
+
+
+def _agilex_transforms(model_config) -> _transforms.Group:
+    from kai0_tpu.policies import agilex_policy
+
+    return _transforms.Group(
+        inputs=[agilex_policy.AgilexInputs(action_dim=model_config.action_dim, model_type=model_config.model_type)],
+        outputs=[agilex_policy.AgilexOutputs()],
+    )
 
 
 def _configs() -> list[TrainConfig]:
@@ -288,6 +303,24 @@ def _configs() -> list[TrainConfig]:
             log_interval=1,
             num_workers=0,
             wandb_enabled=False,
+        ),
+        # Serving smoke config: debug-size model with the full production transform
+        # chain (robot inputs → tokenize/resize/pad), so the serve path is
+        # exercisable end-to-end without a 3B checkpoint.
+        TrainConfig(
+            name="debug_serve",
+            model=debug_model,
+            data=SimpleDataConfig(
+                repo_id="fake",
+                data_transforms=_agilex_transforms,
+            ),
+            batch_size=2,
+            num_train_steps=4,
+            save_interval=2,
+            log_interval=1,
+            num_workers=0,
+            wandb_enabled=False,
+            ema_decay=None,
         ),
         TrainConfig(
             name="pi0_base",

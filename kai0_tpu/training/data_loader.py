@@ -95,21 +95,43 @@ def transform_stack(data_config, model_config) -> list:
     ]
 
 
-def create_dataset(data_config, model_config) -> Dataset:
-    """Dataset dispatch: fake data, or a LeRobot parquet dataset with action chunking."""
+def create_dataset(data_config, model_config, *, advantage: bool = False, split: str = "all") -> Dataset:
+    """Dataset dispatch: fake data, or a LeRobot parquet dataset with action chunking.
+
+    ``advantage=True`` wraps the dataset with random same-episode comparison-frame
+    sampling for estimator training; ``split`` selects the per-task 90/10 episode
+    split (reference data_loader.py:154-212).
+    """
     repo_id = data_config.repo_id
     if repo_id is None or repo_id == "fake":
         return FakeDataset(model_config, num_samples=1024)
 
     from kai0_tpu.data import lerobot_dataset
 
+    episodes = list(data_config.episodes) if data_config.episodes is not None else None
     dataset = lerobot_dataset.LeRobotDataset(
         repo_id,
         action_horizon=model_config.action_horizon,
         action_sequence_keys=tuple(data_config.action_sequence_keys),
+        episodes=episodes,
     )
+    if split != "all":
+        selected = lerobot_dataset.episodes_split_through_task(dataset, split)
+        dataset = lerobot_dataset.LeRobotDataset(
+            repo_id,
+            action_horizon=model_config.action_horizon,
+            action_sequence_keys=tuple(data_config.action_sequence_keys),
+            episodes=selected,
+        )
+    if advantage:
+        from kai0_tpu.data import advantage_dataset
+
+        dataset = advantage_dataset.AdvantageLerobotDataset(dataset)
+        inner_tasks = dataset._dataset.tasks
+    else:
+        inner_tasks = dataset.tasks
     if data_config.prompt_from_task:
-        return TransformedDataset(dataset, [_transforms.PromptFromLeRobotTask(dataset.tasks)])
+        return TransformedDataset(dataset, [_transforms.PromptFromLeRobotTask(inner_tasks)])
     return dataset
 
 
@@ -232,7 +254,9 @@ def create_data_loader(
     if skip_norm_stats or config.skip_norm_stats:
         data_config = dataclasses.replace(data_config, norm_stats=None)
 
-    dataset = create_dataset(data_config, config.model)
+    dataset = create_dataset(
+        data_config, config.model, advantage=config.advantage_estimator, split=config.split
+    )
     dataset = TransformedDataset(dataset, transform_stack(data_config, config.model))
 
     if sharding is None:

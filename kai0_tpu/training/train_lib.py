@@ -79,7 +79,9 @@ def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: boo
         )
 
     train_state_shape = jax.eval_shape(init, init_rng)
-    state_sharding = sharding.fsdp_sharding(train_state_shape, mesh, log=True)
+    state_sharding = sharding.fsdp_sharding(
+        train_state_shape, mesh, min_size_mbytes=config.fsdp_min_size_mbytes, log=True
+    )
 
     if resume:
         return train_state_shape, state_sharding, tx, trainable_mask

@@ -1,0 +1,83 @@
+"""Model Arithmetic: mixing math, checkpoint IO, device-resident weight optimization."""
+
+import jax
+import numpy as np
+import pytest
+
+from kai0_tpu.arithmetic import core
+from kai0_tpu.models import pi0 as _pi0
+from kai0_tpu.training import checkpoints as _checkpoints
+
+
+def test_mix_params_weighted_average():
+    a = {"w": np.full((2, 2), 1.0, np.float32), "b": {"x": np.full(3, 0.0, np.float32)}}
+    b = {"w": np.full((2, 2), 3.0, np.float32), "b": {"x": np.full(3, 4.0, np.float32)}}
+    mixed = core.mix_params([a, b], [1.0, 3.0])  # weights normalize to 0.25/0.75
+    np.testing.assert_allclose(mixed["w"], 2.5)
+    np.testing.assert_allclose(mixed["b"]["x"], 3.0)
+    assert mixed["w"].dtype == np.float32
+
+
+def test_mix_norm_stats():
+    ns_a = {"state": {"mean": [0.0, 0.0], "std": [1.0, 1.0]}}
+    ns_b = {"state": {"mean": [2.0, 2.0], "std": [3.0, 3.0]}}
+    mixed = core.mix_norm_stats([ns_a, ns_b])
+    np.testing.assert_allclose(mixed["state"]["mean"], [1.0, 1.0])
+    np.testing.assert_allclose(mixed["state"]["std"], [2.0, 2.0])
+
+
+def test_inverse_loss_weights():
+    w = core.compute_optimal_weights([1.0, 2.0])
+    assert w[0] > w[1]
+    np.testing.assert_allclose(sum(w), 1.0, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def two_checkpoints(tmp_path_factory):
+    config = _pi0.Pi0Config(
+        paligemma_variant="dummy", action_expert_variant="dummy", vision_variant="mu/14",
+        dtype="float32", action_horizon=4, action_dim=4, max_token_len=16,
+    )
+    base = tmp_path_factory.mktemp("ckpts")
+    paths = []
+    for i in range(2):
+        params = config.init_params(jax.random.key(i))
+        path = base / f"ckpt_{i}"
+        _checkpoints.save_params(jax.tree.map(np.asarray, params), path / "params")
+        paths.append(str(path))
+    return config, paths
+
+
+def test_resolve_and_load(two_checkpoints):
+    config, paths = two_checkpoints
+    params = core.load_params(paths[0])
+    assert "PaliGemma" in params
+
+
+def test_device_ensemble_and_gradient_descent(two_checkpoints):
+    config, paths = two_checkpoints
+    ensemble = core.DeviceEnsemble(paths, config, mesh=None)
+    obs = config.fake_obs(2)
+    actions = config.fake_act(2)
+    batches = [(obs, actions)]
+
+    losses = ensemble.checkpoint_losses(batches)
+    assert len(losses) == 2 and all(np.isfinite(losses))
+
+    weights = core.optimize_weights_gradient_descent(ensemble, batches, num_iterations=3)
+    assert len(weights) == 2
+    np.testing.assert_allclose(sum(weights), 1.0, rtol=1e-5)
+
+    greedy = core.optimize_weights_greedy(ensemble, batches, grid=2)
+    assert len(greedy) == 2
+
+
+def test_mix_and_save_roundtrip(two_checkpoints, tmp_path):
+    config, paths = two_checkpoints
+    params_list = [core.load_params(p) for p in paths]
+    mixed = core.mix_params(params_list, [0.5, 0.5])
+    out = core.save_mixed_checkpoint(mixed, tmp_path / "mixed")
+    reloaded = core.load_params(out)
+    lhs = jax.tree.leaves(mixed)[0]
+    rhs = jax.tree.leaves(reloaded)[0]
+    np.testing.assert_allclose(lhs, rhs)

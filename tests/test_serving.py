@@ -1,0 +1,88 @@
+"""Wire protocol: msgpack codec, action chunk broker, live server↔client roundtrip."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import kai0_tpu.serving  # noqa: F401  (adds in-repo client package to sys.path)
+from kai0_client import msgpack_numpy
+from kai0_client.action_chunk_broker import ActionChunkBroker
+from kai0_client.base_policy import BasePolicy
+from kai0_client.websocket_client_policy import WebsocketClientPolicy
+from kai0_tpu.serving.websocket_policy_server import WebsocketPolicyServer
+
+
+def test_msgpack_roundtrip():
+    data = {
+        "arr_f32": np.random.rand(3, 4).astype(np.float32),
+        "arr_u8": np.random.randint(0, 255, (8, 8, 3), np.uint8),
+        "scalar": np.float64(3.5),
+        "nested": {"x": np.arange(5)},
+        "text": "hello",
+        "num": 7,
+    }
+    packed = msgpack_numpy.packb(data)
+    out = msgpack_numpy.unpackb(packed)
+    np.testing.assert_array_equal(out["arr_f32"], data["arr_f32"])
+    np.testing.assert_array_equal(out["arr_u8"], data["arr_u8"])
+    np.testing.assert_array_equal(out["nested"]["x"], data["nested"]["x"])
+    assert out["scalar"] == data["scalar"]
+    assert out["text"] == "hello"
+    assert out["num"] == 7
+
+
+def test_msgpack_rejects_object_dtype():
+    with pytest.raises(ValueError, match="Unsupported dtype"):
+        msgpack_numpy.packb({"bad": np.array([object()])})
+
+
+class _CountingPolicy(BasePolicy):
+    def __init__(self, horizon: int = 4):
+        self.calls = 0
+        self.horizon = horizon
+
+    def infer(self, obs: dict) -> dict:
+        self.calls += 1
+        return {"actions": np.arange(self.horizon, dtype=np.float32)[:, None] + 100 * self.calls}
+
+    def reset(self) -> None:
+        self.calls = 0
+
+
+def test_action_chunk_broker():
+    inner = _CountingPolicy(horizon=4)
+    broker = ActionChunkBroker(inner, action_horizon=4)
+    steps = [broker.infer({})["actions"] for _ in range(8)]
+    assert inner.calls == 2  # one infer per exhausted chunk
+    np.testing.assert_allclose([s[0] for s in steps], [100, 101, 102, 103, 200, 201, 202, 203])
+
+
+class _EchoPolicy(BasePolicy):
+    def infer(self, obs: dict) -> dict:
+        return {"actions": np.asarray(obs["state"]) * 2.0}
+
+    def reset(self) -> None:
+        pass
+
+
+def test_websocket_server_client_roundtrip():
+    server = WebsocketPolicyServer(_EchoPolicy(), host="127.0.0.1", port=18473, metadata={"who": "kai0_tpu"})
+
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    time.sleep(0.3)
+
+    client = WebsocketClientPolicy(host="127.0.0.1", port=18473, retry_interval_s=0.2)
+    assert client.get_server_metadata() == {"who": "kai0_tpu"}
+
+    state = np.arange(6, dtype=np.float32)
+    result = client.infer({"state": state})
+    np.testing.assert_allclose(result["actions"], state * 2.0)
+    assert "infer_ms" in result["server_timing"]
+
+    # Second call reports the previous round-trip time.
+    result2 = client.infer({"state": state})
+    assert "prev_total_ms" in result2["server_timing"]
+    client.close()
