@@ -1,0 +1,194 @@
+"""Deployment library: smoothing/ensembling buffers, RTC alignment, DAgger collector."""
+
+import numpy as np
+import pytest
+
+from kai0_tpu.deploy import buffers as _buffers
+from kai0_tpu.deploy import dagger as _dagger
+from kai0_tpu.deploy.rtc_client import RTCClient
+
+
+def chunk(start, n=10, dim=3):
+    """Chunk whose rows are start, start+1, ..."""
+    return np.arange(start, start + n, dtype=float)[:, None].repeat(dim, 1)
+
+
+class TestStreamActionBuffer:
+    def test_first_chunk_passthrough(self):
+        buf = _buffers.StreamActionBuffer()
+        buf.integrate_new_chunk(chunk(0), max_k=5)
+        assert len(buf) == 10
+        assert np.allclose(buf.pop_next_action(), 0.0)
+        assert np.allclose(buf.pop_next_action(), 1.0)
+
+    def test_latency_trim(self):
+        buf = _buffers.StreamActionBuffer()
+        buf.integrate_new_chunk(chunk(0), max_k=5)
+        for _ in range(3):
+            buf.pop_next_action()
+        # 3 steps executed during inference: new chunk trimmed by min(k=3, max_k=5)=3.
+        buf.integrate_new_chunk(chunk(100), max_k=5, min_m=2)
+        first = buf.pop_next_action()
+        # Crossfade starts at 100% old: first action equals the old chunk's value (3).
+        assert np.allclose(first, 3.0)
+        # Fade ends at 100% new: drain the overlap, then pure new values.
+        vals = [buf.pop_next_action()[0] for _ in range(len(buf))]
+        assert vals[-1] == 109.0  # tail of chunk(100) passes through unchanged
+
+    def test_raw_mode_skips_smoothing(self):
+        buf = _buffers.StreamActionBuffer(smooth_method="raw")
+        buf.integrate_new_chunk(chunk(0), max_k=5)
+        buf.pop_next_action()
+        buf.integrate_new_chunk(chunk(100), max_k=5)
+        assert np.allclose(buf.pop_next_action(), 101.0)  # trimmed by k=1, no fade
+
+    def test_stale_chunk_dropped(self):
+        buf = _buffers.StreamActionBuffer()
+        buf.integrate_new_chunk(chunk(0, n=4), max_k=10)
+        for _ in range(4):
+            buf.pop_next_action()
+        # k=4 >= len(new chunk): chunk is entirely stale, ignored.
+        buf.integrate_new_chunk(chunk(100, n=4), max_k=10)
+        assert not buf.has_any()
+
+    def test_bridge_from_last_action(self):
+        buf = _buffers.StreamActionBuffer()
+        buf.integrate_new_chunk(chunk(0, n=2), max_k=0)
+        buf.pop_next_action()
+        buf.pop_next_action()  # drains; last_action = 1.0
+        buf.integrate_new_chunk(chunk(100, n=6), max_k=0, min_m=4)
+        # Crossfade anchored at the last executed action (1.0), not a jump to 100.
+        assert buf.pop_next_action()[0] == pytest.approx(1.0)
+
+
+class TestTemporalEnsembling:
+    def test_single_chunk_identity(self):
+        buf = _buffers.TemporalEnsemblingBuffer(chunk_size=5)
+        buf.add_chunk(chunk(0, n=5))
+        assert np.allclose(buf.step(), 0.0)
+        assert np.allclose(buf.step(), 1.0)
+
+    def test_exponential_aggregation(self):
+        buf = _buffers.TemporalEnsemblingBuffer(chunk_size=5, exp_weight_m=0.0)
+        buf.add_chunk(np.zeros((5, 3)), start_timestep=0)
+        buf.add_chunk(np.ones((5, 3)), start_timestep=0)
+        # m=0 → uniform weights → plain mean.
+        assert np.allclose(buf.get_action(0), 0.5)
+
+        buf2 = _buffers.TemporalEnsemblingBuffer(chunk_size=5, exp_weight_m=10.0)
+        buf2.add_chunk(np.zeros((5, 3)), start_timestep=0)
+        buf2.add_chunk(np.ones((5, 3)), start_timestep=0)
+        # Large m → oldest chunk dominates.
+        assert buf2.get_action(0)[0] < 0.01
+
+    def test_fallback_to_last_action(self):
+        buf = _buffers.TemporalEnsemblingBuffer(chunk_size=2)
+        buf.add_chunk(chunk(0, n=2))
+        buf.step()
+        buf.step()
+        # Cursor past predictions: falls back to the last aggregated action.
+        assert np.allclose(buf.step(), 1.0)
+
+    def test_cleanup(self):
+        buf = _buffers.TemporalEnsemblingBuffer(chunk_size=3, cleanup_lag=2)
+        buf.add_chunk(chunk(0, n=3), start_timestep=0)
+        buf.current_t = 10
+        buf.add_chunk(chunk(5, n=3), start_timestep=10)
+        assert all(t >= 8 for t in buf._predictions)
+
+
+def test_delay_estimator_median():
+    est = _buffers.DelayEstimator(publish_rate=25.0)
+    for rtt in (0.1, 0.3, 0.2):
+        est.update(rtt)
+    # median 0.2 s × 25 Hz = 5 steps.
+    assert est.delay_steps == 5
+    est.update(float("nan"))  # ignored
+    assert est.delay_steps == 5
+
+
+def test_rtc_align_chunks():
+    prev = chunk(0, n=10, dim=2)
+    nxt = chunk(100, n=10, dim=2)
+    to_exec, shifted = _buffers.rtc_align_chunks(prev, nxt, delay_steps=3, execute_horizon=6)
+    # First 3 from prev (committed during inference), next 3 from the new chunk.
+    assert to_exec.shape == (6, 2)
+    assert np.allclose(to_exec[:3, 0], [0, 1, 2])
+    assert np.allclose(to_exec[3:, 0], [103, 104, 105])
+    # New chunk shifted by execute_horizon, zero padded.
+    assert shifted.shape == (10, 2)
+    assert np.allclose(shifted[:4, 0], [106, 107, 108, 109])
+    assert np.allclose(shifted[4:], 0)
+
+
+class _FakePolicy:
+    def __init__(self):
+        self.calls = []
+
+    def infer(self, payload):
+        self.calls.append(payload)
+        return {"actions": chunk(len(self.calls) * 100, n=10, dim=4)}
+
+
+def test_rtc_client_rounds():
+    policy = _FakePolicy()
+    client = RTCClient(policy, action_dim=8, chunk_size=10, execute_horizon=4, publish_rate=10)
+    obs = {"state": np.zeros(4)}
+
+    out1 = client.infer_round(obs)
+    assert out1.shape == (4, 4)
+    assert np.allclose(out1[:, 0], [100, 101, 102, 103])
+    # First round payload has no prev chunk; flags present.
+    assert "prev_action_chunk" not in policy.calls[0]
+    assert policy.calls[0]["enable_rtc"] is True
+
+    out2 = client.infer_round(obs)
+    # Second round payload carries the shifted prev chunk padded to action_dim.
+    prev = np.asarray(policy.calls[1]["prev_action_chunk"])
+    assert prev.shape == (10, 8)
+    assert np.allclose(prev[0, :4], 104)  # shifted head of round-1 chunk
+    assert np.allclose(prev[:, 4:], 0)  # padded dims
+    assert out2.shape == (4, 4)
+
+
+def test_dagger_collector_roundtrip(tmp_path):
+    import h5py
+
+    coll = _dagger.DAggerCollector(["top"], tmp_path, task_name="fold", fps=10)
+    coll.start_collection()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        coll.add_frame(
+            {
+                "qpos": np.full(14, i, dtype=np.float32),
+                "images": {"top": rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)},
+            },
+            action=np.full(14, i + 0.5, dtype=np.float32),
+            intervention=(i >= 3),
+        )
+    path = coll.save_episode()
+    assert path.name == "episode_0.hdf5"
+    with h5py.File(path) as f:
+        assert f["observations/qpos"].shape == (5, 14)
+        assert np.allclose(f["action"][2], 2.5)
+        assert f["intervention"][:].tolist() == [False, False, False, True, True]
+    assert (tmp_path / "fold" / "video" / "top" / "episode_0.mp4").exists()
+    # Next episode index advances; a fresh collector resumes numbering.
+    assert coll.episode_idx == 1
+    assert _dagger.DAggerCollector(["top"], tmp_path, task_name="fold").episode_idx == 1
+
+
+def test_dagger_state_machine():
+    sm = _dagger.DaggerStateMachine()
+    assert sm.mode == "idle"
+    sm.on_key("enter")
+    assert sm.mode == "infer" and not sm.intervening
+    sm.on_key("d")
+    assert sm.intervening
+    sm.on_key(" ")
+    assert sm.recording
+    sm.on_key("s")
+    assert sm.consume_save_request() and not sm.recording
+    assert not sm.consume_save_request()  # one-shot
+    sm.on_key("r")
+    assert sm.mode == "infer"
