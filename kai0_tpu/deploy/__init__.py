@@ -19,3 +19,27 @@ from kai0_tpu.deploy.buffers import (  # noqa: F401
     TemporalEnsemblingBuffer,
     rtc_align_chunks,
 )
+
+
+def make_stream_buffer(*, smooth_method: str = "temporal", prefer_native: bool = True):
+    """Best available smoothing buffer: C++ (GIL-free locking) when buildable."""
+    if prefer_native:
+        from kai0_tpu import native
+
+        if native.load() is not None:
+            from kai0_tpu.deploy.native_buffers import NativeStreamActionBuffer
+
+            return NativeStreamActionBuffer(smooth_method=smooth_method)
+    return StreamActionBuffer(smooth_method=smooth_method)
+
+
+def make_ensembling_buffer(*, chunk_size: int = 50, exp_weight_m: float = 0.01, prefer_native: bool = True):
+    """Best available ensembling buffer: C++ when buildable."""
+    if prefer_native:
+        from kai0_tpu import native
+
+        if native.load() is not None:
+            from kai0_tpu.deploy.native_buffers import NativeTemporalEnsemblingBuffer
+
+            return NativeTemporalEnsemblingBuffer(chunk_size=chunk_size, exp_weight_m=exp_weight_m)
+    return TemporalEnsemblingBuffer(chunk_size=chunk_size, exp_weight_m=exp_weight_m)

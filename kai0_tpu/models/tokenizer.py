@@ -318,3 +318,131 @@ class FASTTokenizer:
         if isinstance(tokens, list):
             tokens = np.array(tokens)
         return self._paligemma.vocab_size() - 1 - self._fast_skip_tokens - tokens
+
+
+# --------------------------------------------------------------------------------------
+# RoboArena baseline tokenizers (reference tokenizer.py:148-371)
+# --------------------------------------------------------------------------------------
+
+
+def _prefix_only_tokenize(codec, prompt: str, state: np.ndarray, max_len: int):
+    """Shared prefix assembly for the inference-only baseline tokenizers."""
+    cleaned_text = prompt.lower().strip().replace("_", " ")
+    discretized_state = np.digitize(state, bins=np.linspace(-1, 1, 256 + 1)[:-1]) - 1
+    state_str = " ".join(map(str, discretized_state))
+    prefix = f"Task: {cleaned_text}, State: {state_str};\n"
+    tokens = codec.encode(prefix, add_bos=True)
+    token_mask = [True] * len(tokens)
+    ar_mask = [0] * len(tokens)
+    loss_mask = [False] * len(tokens)
+    if len(tokens) < max_len:
+        pad = [False] * (max_len - len(tokens))
+        tokens, token_mask, ar_mask, loss_mask = (
+            tokens + pad, token_mask + pad, ar_mask + pad, loss_mask + pad
+        )
+    else:
+        if len(tokens) > max_len:
+            logger.warning(f"Token length ({len(tokens)}) exceeds max length ({max_len}), truncating.")
+        tokens, token_mask, ar_mask, loss_mask = (
+            tokens[:max_len], token_mask[:max_len], ar_mask[:max_len], loss_mask[:max_len]
+        )
+    return (
+        np.asarray(tokens, dtype=np.int32),
+        np.asarray(token_mask, dtype=bool),
+        np.asarray(ar_mask, dtype=np.int32),
+        np.asarray(loss_mask, dtype=bool),
+    )
+
+
+class BinningTokenizer:
+    """RT-2 / OpenVLA-style per-dim binning tokenizer (reference :148-245).
+
+    Inference-only in the reference (``actions`` must be None); action tokens come
+    back mapped into the top of the PaliGemma vocab and decode as
+    ``token / n_bins * 2 - 1``.
+    """
+
+    def __init__(self, max_len: int = 256, n_bins: int = 256, codec=None):
+        self._max_len = max_len
+        self._n_bins = n_bins
+        self._paligemma = codec if codec is not None else _default_text_codec()
+        self._fast_skip_tokens = 128
+
+    def tokenize(self, prompt: str, state: np.ndarray, actions: np.ndarray | None = None):
+        if actions is not None:
+            raise NotImplementedError("BinningTokenizer does not support encoding actions (inference only)")
+        return _prefix_only_tokenize(self._paligemma, prompt, state, self._max_len)
+
+    def extract_actions(self, tokens: np.ndarray, action_horizon: int, action_dim: int) -> np.ndarray:
+        decoded = self._paligemma.decode(tokens.tolist())
+        if "Action: " not in decoded:
+            return np.zeros((action_horizon, action_dim), dtype=np.float32)
+        raw = np.array(self._paligemma.encode(decoded.split("Action: ")[1].split("|")[0].strip()))
+        action_tokens = self._act_tokens_to_paligemma_tokens(raw)
+        if len(action_tokens) < action_horizon * action_dim:
+            return np.zeros((action_horizon, action_dim), dtype=np.float32)
+        action_tokens = action_tokens[: action_horizon * action_dim].reshape(action_horizon, action_dim)
+        return action_tokens / self._n_bins * 2 - 1
+
+    def _act_tokens_to_paligemma_tokens(self, tokens: np.ndarray | list[int]) -> np.ndarray:
+        if isinstance(tokens, list):
+            tokens = np.array(tokens)
+        return self._paligemma.vocab_size() - 1 - self._fast_skip_tokens - tokens
+
+
+class FSQTokenizer:
+    """FSQ-autoencoder action tokenizer, FAST-paper baseline (reference :246-371).
+
+    Wraps :mod:`kai0_tpu.models.fsq_tokenizer`. Pass an Orbax checkpoint dir (items
+    ``params``/``config``) to load trained codebook weights; without one, fresh
+    params are initialized (useful for pipeline tests, not for deployment).
+    """
+
+    def __init__(self, max_len: int = 256, fsq_tokenizer_path: str | None = None, codec=None, fsq_config=None):
+        import jax
+
+        from kai0_tpu.models import fsq_tokenizer as _fsq
+
+        self._max_len = max_len
+        self._paligemma = codec if codec is not None else _default_text_codec()
+        self._fast_skip_tokens = 128
+
+        if fsq_tokenizer_path is not None:
+            import orbax.checkpoint as ocp
+
+            restored = ocp.StandardCheckpointer().restore(fsq_tokenizer_path)
+            self._fsq_config = _fsq.FsqConfig(**restored["config"])
+            self._params = restored["params"]
+        else:
+            self._fsq_config = fsq_config if fsq_config is not None else _fsq.FsqConfig()
+            self._params = _fsq.init_params(self._fsq_config, jax.random.key(0))
+        cfg = self._fsq_config
+        self._detokenize_fn = jax.jit(lambda p, x: _fsq.decode(p, cfg, x))
+        self._tokenize_fn = jax.jit(lambda p, x: _fsq.encode(p, cfg, x))
+
+    def tokenize(self, prompt: str, state: np.ndarray, actions: np.ndarray | None = None):
+        if actions is not None:
+            raise NotImplementedError("FSQTokenizer does not support encoding actions (inference only)")
+        return _prefix_only_tokenize(self._paligemma, prompt, state, self._max_len)
+
+    def extract_actions(self, tokens: np.ndarray, action_horizon: int, action_dim: int) -> np.ndarray:
+        decoded = self._paligemma.decode(tokens.tolist())
+        if "Action: " not in decoded:
+            return np.zeros((action_horizon, action_dim), dtype=np.float32)
+        raw = np.array(self._paligemma.encode(decoded.split("Action: ")[1].split("|")[0].strip()))
+        action_tokens = self._act_tokens_to_paligemma_tokens(raw)
+        try:
+            n = self._fsq_config.num_tokens
+            if len(action_tokens) < n:
+                return np.zeros((action_horizon, action_dim), dtype=np.float32)
+            ids = np.clip(action_tokens[:n], 0, self._fsq_config.vocab_size - 1)
+            detok = np.asarray(self._detokenize_fn(self._params, ids[None].astype(np.int32))[0])
+            return detok[:action_horizon, :action_dim]
+        except Exception as e:  # noqa: BLE001 — parity: reference returns zeros on decode failure
+            logger.warning(f"Error decoding FSQ: {e}")
+            return np.zeros((action_horizon, action_dim), dtype=np.float32)
+
+    def _act_tokens_to_paligemma_tokens(self, tokens: np.ndarray | list[int]) -> np.ndarray:
+        if isinstance(tokens, list):
+            tokens = np.array(tokens)
+        return self._paligemma.vocab_size() - 1 - self._fast_skip_tokens - tokens

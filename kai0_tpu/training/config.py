@@ -74,6 +74,12 @@ class DataConfig:
     # Optional episode subset (Model Arithmetic splits, advantage train/val).
     episodes: Sequence[int] | None = None
 
+    # RLDS path (large-scale DROID training, reference config.py:549-614). When
+    # ``rlds_data_dir`` is set the loader streams tf.data RLDS instead of LeRobot.
+    rlds_data_dir: str | None = None
+    action_space: Any | None = None
+    rlds_datasets: Sequence[Any] = ()
+
 
 class GroupFactory(Protocol):
     def __call__(self, model_config) -> _transforms.Group: ...
@@ -334,6 +340,12 @@ def _configs() -> list[TrainConfig]:
         ),
     ]
     configs.extend(robot_configs.configs())
+
+    # Baseline config packs (reference config.py:1391-1393).
+    from kai0_tpu.training.misc import polaris_config, roboarena_config
+
+    configs.extend(roboarena_config.get_roboarena_configs())
+    configs.extend(polaris_config.get_polaris_configs())
     return configs
 
 

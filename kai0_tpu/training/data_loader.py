@@ -191,6 +191,17 @@ class NumpyDataLoader:
             items = list(pool.map(self._dataset.__getitem__, batch_indices))
             return jax.tree.map(lambda *xs: np.stack(xs), *items)
 
+        def put_until_stopped(item) -> bool:
+            # A plain blocking put would leave this thread pinned forever (holding
+            # device buffers and racing XLA) once the consumer stops reading.
+            while not stop.is_set():
+                try:
+                    prefetch.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer():
             try:
                 for batch_indices in indices:
@@ -201,9 +212,10 @@ class NumpyDataLoader:
                     device_batch = jax.tree.map(
                         lambda x: _make_global_array(x, self._sharding), batch
                     )
-                    prefetch.put(device_batch)
+                    if not put_until_stopped(device_batch):
+                        return
             except Exception as e:  # noqa: BLE001
-                prefetch.put(e)
+                put_until_stopped(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
@@ -218,6 +230,13 @@ class NumpyDataLoader:
                 produced += 1
         finally:
             stop.set()
+            # Unblock a producer waiting on a full queue, then reap it.
+            while True:
+                try:
+                    prefetch.get_nowait()
+                except queue.Empty:
+                    break
+            thread.join(timeout=10)
             pool.shutdown(wait=False, cancel_futures=True)
 
 
@@ -241,6 +260,46 @@ class DataLoaderImpl:
         yield from self._loader
 
 
+class RLDSLoader:
+    """Streams batched RLDS frames through the transform stack onto devices.
+
+    RLDS batches arrive pre-batched from tf.data, so transforms are applied per
+    already-batched dict (reference ``IterableTransformedDataset(is_batched=True)``
+    + ``RLDSDataLoader``).
+    """
+
+    def __init__(self, rlds_dataset, transforms, sharding, num_batches: int | None = None):
+        self._dataset = rlds_dataset
+        self._transforms = transforms
+        self._sharding = sharding
+        self._num_batches = num_batches
+
+    def __iter__(self):
+        produced = 0
+        for batch in self._dataset:
+            if self._num_batches is not None and produced >= self._num_batches:
+                return
+            for transform in self._transforms:
+                batch = transform(batch)
+            batch = jax.tree.map(lambda x: _make_global_array(np.asarray(x), self._sharding), batch)
+            actions = batch.pop("actions")
+            yield _model.Observation.from_dict(batch), actions
+            produced += 1
+
+
+def create_rlds_dataset(data_config, action_horizon: int, batch_size: int, *, shuffle: bool = True):
+    from kai0_tpu.training import droid_rlds_dataset as _rlds
+
+    return _rlds.DroidRldsDataset(
+        data_config.rlds_data_dir,
+        batch_size,
+        list(data_config.rlds_datasets),
+        shuffle=shuffle,
+        action_chunk_size=action_horizon,
+        action_space=data_config.action_space or _rlds.DroidActionSpace.JOINT_POSITION,
+    )
+
+
 def create_data_loader(
     config,
     *,
@@ -254,15 +313,27 @@ def create_data_loader(
     if skip_norm_stats or config.skip_norm_stats:
         data_config = dataclasses.replace(data_config, norm_stats=None)
 
-    dataset = create_dataset(
-        data_config, config.model, advantage=config.advantage_estimator, split=config.split
-    )
-    dataset = TransformedDataset(dataset, transform_stack(data_config, config.model))
-
     if sharding is None:
         sharding = jax.sharding.NamedSharding(
             jax.sharding.Mesh(jax.devices(), ("B",)), jax.sharding.PartitionSpec("B")
         )
+
+    if data_config.rlds_data_dir is not None:
+        rlds_dataset = create_rlds_dataset(
+            data_config, config.model.action_horizon, config.batch_size, shuffle=shuffle
+        )
+        loader = RLDSLoader(
+            rlds_dataset,
+            transform_stack(data_config, config.model),
+            sharding,
+            num_batches=num_batches,
+        )
+        return DataLoaderImpl(data_config, loader)
+
+    dataset = create_dataset(
+        data_config, config.model, advantage=config.advantage_estimator, split=config.split
+    )
+    dataset = TransformedDataset(dataset, transform_stack(data_config, config.model))
 
     if config.batch_size % jax.process_count() != 0:
         raise ValueError(f"Batch size {config.batch_size} must be divisible by process count.")

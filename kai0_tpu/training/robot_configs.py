@@ -256,6 +256,60 @@ class LeRobotDROIDDataConfig(_config.DataConfigFactory):
         )
 
 
+@dataclasses.dataclass(frozen=True)
+class RLDSDroidDataConfig(_config.DataConfigFactory):
+    """DROID via tf.data RLDS, for datasets too large for LeRobot (reference config.py:549-614)."""
+
+    rlds_data_dir: str | None = None
+    action_space: object | None = None
+    datasets: tuple = ()
+
+    def create(self, assets_dirs: pathlib.Path, model_config) -> _config.DataConfig:
+        from kai0_tpu.training import droid_rlds_dataset as _rlds
+
+        if self.rlds_data_dir is None:
+            raise ValueError("Need to set rlds_data_dir for the RLDS data loader.")
+        datasets = self.datasets or (
+            _rlds.RLDSDataset(name="droid", version="1.0.1", weight=1.0),
+        )
+        action_space = self.action_space or _rlds.DroidActionSpace.JOINT_POSITION
+
+        repack_transforms = _transforms.Group(
+            inputs=[
+                _transforms.RepackTransform(
+                    {
+                        "observation/exterior_image_1_left": "observation/image",
+                        "observation/wrist_image_left": "observation/wrist_image",
+                        "observation/joint_position": "observation/joint_position",
+                        "observation/gripper_position": "observation/gripper_position",
+                        "actions": "actions",
+                        "prompt": "prompt",
+                    }
+                )
+            ]
+        )
+        data_transforms = _transforms.Group(
+            inputs=[droid_policy.DroidInputs(model_type=model_config.model_type)],
+            outputs=[droid_policy.DroidOutputs()],
+        )
+        if action_space == _rlds.DroidActionSpace.JOINT_POSITION:
+            # Loader yields absolute joint positions — train on deltas (gripper stays absolute).
+            delta_action_mask = _transforms.make_bool_mask(7, -1)
+            data_transforms = data_transforms.push(
+                inputs=[_transforms.DeltaActions(delta_action_mask)],
+                outputs=[_transforms.AbsoluteActions(delta_action_mask)],
+            )
+        return dataclasses.replace(
+            self.create_base_config(assets_dirs, model_config),
+            repack_transforms=repack_transforms,
+            data_transforms=data_transforms,
+            model_transforms=_model_transforms(model_config, None),
+            rlds_data_dir=self.rlds_data_dir,
+            action_space=action_space,
+            rlds_datasets=datasets,
+        )
+
+
 # --------------------------------------------------------------------------------------
 # Named configs
 # --------------------------------------------------------------------------------------

@@ -192,3 +192,92 @@ def test_dagger_state_machine():
     assert not sm.consume_save_request()  # one-shot
     sm.on_key("r")
     assert sm.mode == "infer"
+
+
+# --------------------------------------------------------------------------------------
+# Native (C++) buffer parity
+# --------------------------------------------------------------------------------------
+
+
+def _native_available():
+    from kai0_tpu import native
+
+    return native.load() is not None
+
+
+@pytest.mark.skipif(not _native_available(), reason="no C++ toolchain")
+class TestNativeBufferParity:
+    def test_stream_buffer_matches_python(self):
+        from kai0_tpu.deploy.native_buffers import NativeStreamActionBuffer
+
+        rng = np.random.default_rng(0)
+        py = _buffers.StreamActionBuffer()
+        cc = NativeStreamActionBuffer()
+        for round_i in range(5):
+            chunk = rng.normal(size=(10, 4))
+            for buf in (py, cc):
+                buf.integrate_new_chunk(chunk, max_k=6, min_m=3)
+            for _ in range(rng.integers(1, 8)):
+                a_py, a_cc = py.pop_next_action(), cc.pop_next_action()
+                if a_py is None:
+                    assert a_cc is None
+                else:
+                    np.testing.assert_allclose(a_py, a_cc, atol=1e-12)
+        assert len(py) == len(cc)
+
+    def test_stream_buffer_raw_and_stale(self):
+        from kai0_tpu.deploy.native_buffers import NativeStreamActionBuffer
+
+        buf = NativeStreamActionBuffer(smooth_method="raw")
+        buf.integrate_new_chunk(chunk(0, n=4), max_k=10)
+        for _ in range(4):
+            buf.pop_next_action()
+        buf.integrate_new_chunk(chunk(100, n=4), max_k=10)  # fully stale → dropped
+        assert not buf.has_any()
+
+    def test_ensembling_matches_python(self):
+        from kai0_tpu.deploy.native_buffers import NativeTemporalEnsemblingBuffer
+
+        rng = np.random.default_rng(1)
+        py = _buffers.TemporalEnsemblingBuffer(exp_weight_m=0.05)
+        cc = NativeTemporalEnsemblingBuffer(exp_weight_m=0.05)
+        for start in (0, 3, 6):
+            c = rng.normal(size=(8, 3))
+            py.add_chunk(c, start_timestep=start)
+            cc.add_chunk(c, start_timestep=start)
+        for _ in range(12):
+            a_py, a_cc = py.step(), cc.step()
+            if a_py is None:
+                assert a_cc is None
+            else:
+                np.testing.assert_allclose(a_py, a_cc, atol=1e-12)
+
+    def test_concurrent_producer_consumer(self):
+        import threading
+
+        from kai0_tpu.deploy.native_buffers import NativeStreamActionBuffer
+
+        buf = NativeStreamActionBuffer()
+        stop = threading.Event()
+        popped = []
+
+        def producer():
+            rng = np.random.default_rng(2)
+            for _ in range(50):
+                buf.integrate_new_chunk(rng.normal(size=(20, 4)), max_k=10)
+
+        def consumer():
+            while not stop.is_set() or buf.has_any():
+                a = buf.pop_next_action()
+                if a is not None:
+                    popped.append(a)
+
+        t_prod = threading.Thread(target=producer)
+        t_cons = threading.Thread(target=consumer)
+        t_cons.start()
+        t_prod.start()
+        t_prod.join()
+        stop.set()
+        t_cons.join(timeout=10)
+        assert popped  # no deadlock, actions flowed
+        assert all(a.shape == (4,) for a in popped)

@@ -59,3 +59,91 @@ def test_fast_tokenizer_no_actions():
     zero = tok.extract_actions(np.zeros(10, dtype=np.int32), 50, 14)
     assert zero.shape == (50, 14)
     np.testing.assert_array_equal(zero, 0)
+
+
+# --------------------------------------------------------------------------------------
+# RoboArena baseline tokenizers
+# --------------------------------------------------------------------------------------
+
+
+def test_binning_tokenizer_prefix_and_masks():
+    from kai0_tpu.models.tokenizer import BinningTokenizer
+
+    tok = BinningTokenizer(max_len=64)
+    state = np.linspace(-1, 1, 8)
+    tokens, mask, ar, loss = tok.tokenize("Fold_the cloth", state)
+    assert tokens.shape == mask.shape == ar.shape == loss.shape == (64,)
+    # Prefix-only: bidirectional everywhere valid, no loss positions.
+    assert not loss.any()
+    assert (ar[mask] == 0).all()
+    with np.testing.assert_raises(NotImplementedError):
+        tok.tokenize("x", state, actions=np.zeros((5, 4)))
+
+
+def test_binning_extract_actions_no_marker_returns_zeros():
+    from kai0_tpu.models.tokenizer import BinningTokenizer
+
+    tok = BinningTokenizer(max_len=32)
+    out = tok.extract_actions(np.arange(10), action_horizon=5, action_dim=3)
+    assert out.shape == (5, 3)
+    assert np.allclose(out, 0)
+
+
+def test_fsq_roundtrip_token_ids():
+    import jax
+
+    from kai0_tpu.models import fsq_tokenizer as fsq
+
+    config = fsq.FsqConfig(action_horizon=10, action_dim=4, num_tokens=8, hidden=64)
+    params = fsq.init_params(config, jax.random.key(0))
+    actions = np.random.default_rng(0).uniform(-1, 1, (2, 10, 4)).astype(np.float32)
+    ids = fsq.encode(params, config, actions)
+    assert ids.shape == (2, 8)
+    assert (ids >= 0).all() and (ids < config.vocab_size).all()
+    recon = fsq.decode(params, config, ids)
+    assert recon.shape == (2, 10, 4)
+    # Digitize/undigitize are exact inverses at the id level.
+    values = fsq._undigitize(config, ids)
+    half = (np.asarray(config.bins_per_dim) - 1) / 2
+    redig = fsq._digitize(config, (np.asarray(values) + half).astype(np.int32))
+    assert np.array_equal(np.asarray(redig), np.asarray(ids))
+
+
+def test_fsq_training_reduces_loss():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from kai0_tpu.models import fsq_tokenizer as fsq
+
+    config = fsq.FsqConfig(action_horizon=8, action_dim=2, num_tokens=4, hidden=32)
+    params = fsq.init_params(config, jax.random.key(0))
+    actions = jnp.asarray(np.random.default_rng(1).uniform(-1, 1, (16, 8, 2)), dtype=jnp.float32)
+    tx = optax.adam(1e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        loss, grads = jax.value_and_grad(fsq.reconstruction_loss)(params, config, actions)
+        updates, opt_state = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    # Straight-through gradients flow: loss decreases.
+    assert losses[-1] < losses[0] * 0.9
+
+
+def test_fsq_tokenizer_wrapper():
+    from kai0_tpu.models import fsq_tokenizer as _fsq
+    from kai0_tpu.models.tokenizer import FSQTokenizer
+
+    tok = FSQTokenizer(
+        max_len=48, fsq_config=_fsq.FsqConfig(action_horizon=10, action_dim=4, num_tokens=4, hidden=32)
+    )
+    tokens, mask, ar, loss = tok.tokenize("pick up the cup", np.zeros(8))
+    assert tokens.shape == (48,)
+    out = tok.extract_actions(np.arange(20), action_horizon=10, action_dim=4)
+    assert out.shape == (10, 4)

@@ -33,7 +33,7 @@ sys.path.insert(
     0, str(pathlib.Path(__file__).parent.parent.parent / "packages" / "kai0-client" / "src")
 )
 
-from kai0_tpu.deploy.buffers import StreamActionBuffer, TemporalEnsemblingBuffer
+from kai0_tpu.deploy import make_ensembling_buffer, make_stream_buffer
 from kai0_tpu.deploy.rtc_client import RTCClient
 
 
@@ -86,7 +86,7 @@ def run_sync(policy, robot, prompt: str, publish_rate: float, max_steps: int):
 def run_smooth(policy, robot, prompt: str, publish_rate: float, infer_rate: float,
                max_steps: int, max_k: int = 10, min_m: int = 8):
     """Async inference thread + crossfade buffer (reference *_temporal_smoothing.py)."""
-    buf = StreamActionBuffer()
+    buf = make_stream_buffer()  # C++ core when available (GIL-free publish loop)
     stop = threading.Event()
 
     def infer_loop():
@@ -115,7 +115,7 @@ def run_smooth(policy, robot, prompt: str, publish_rate: float, infer_rate: floa
 def run_ensemble(policy, robot, prompt: str, publish_rate: float, infer_rate: float,
                  max_steps: int, exp_weight_m: float = 0.01):
     """Async inference + ACT-style ensembling (reference *_temporal_ensembling.py)."""
-    buf = TemporalEnsemblingBuffer(exp_weight_m=exp_weight_m)
+    buf = make_ensembling_buffer(exp_weight_m=exp_weight_m)
     stop = threading.Event()
 
     def infer_loop():
