@@ -234,6 +234,12 @@ class TrainConfig:
     # Metrics logging (JSONL always; wandb when installed and enabled).
     wandb_enabled: bool = True
 
+    # jax.profiler trace capture: at `profile_start_step`, capture `profile_steps`
+    # steps to <checkpoint_dir>/profile (view with XProf/TensorBoard). The reference
+    # has no profiler integration (SURVEY.md §5); 0 disables.
+    profile_start_step: int = 0
+    profile_steps: int = 0
+
     # Metadata passed to the policy server.
     policy_metadata: dict[str, Any] | None = None
 

@@ -192,11 +192,23 @@ def main(config: _config.TrainConfig):
     )
 
     start_step = int(train_state.step)
+    profile_stop_step = None
+    if config.profile_steps > 0:
+        profile_stop_step = max(start_step + 1, config.profile_start_step) + config.profile_steps
+
     infos = []
     t_last = time.time()
     for step in range(start_step, config.num_train_steps):
+        if profile_stop_step is not None and step == max(start_step + 1, config.profile_start_step):
+            profile_dir = str(config.checkpoint_dir / "profile")
+            logger.info(f"Capturing jax.profiler trace for {config.profile_steps} steps → {profile_dir}")
+            jax.profiler.start_trace(profile_dir)
         with sharding.set_mesh(mesh):
             train_state, info = ptrain_step(train_rng, train_state, batch)
+        if profile_stop_step is not None and step + 1 == profile_stop_step:
+            jax.block_until_ready(info)
+            jax.profiler.stop_trace()
+            profile_stop_step = None
         infos.append(info)
         if step % config.log_interval == 0:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *infos)

@@ -81,3 +81,41 @@ def test_mix_and_save_roundtrip(two_checkpoints, tmp_path):
     lhs = jax.tree.leaves(mixed)[0]
     rhs = jax.tree.leaves(reloaded)[0]
     np.testing.assert_allclose(lhs, rhs)
+
+
+def test_torch_safetensors_mixing(tmp_path):
+    """arithmetic_torch: safetensors roundtrip + weighted mixing CLI."""
+    import pathlib
+    import sys
+
+    import safetensors.numpy
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "model_arithmetic"))
+    import arithmetic_torch as at
+
+    rng = np.random.default_rng(0)
+    for i, scale in enumerate((0.0, 1.0)):
+        ckpt = tmp_path / f"ckpt_{i}"
+        ckpt.mkdir()
+        safetensors.numpy.save_file(
+            {"w": np.full((4, 4), scale, dtype=np.float32), "b": np.full((4,), scale, dtype=np.float32)},
+            str(ckpt / "model.safetensors"),
+        )
+    at.main([
+        "--checkpoints", str(tmp_path / "ckpt_0"), str(tmp_path / "ckpt_1"),
+        "--output", str(tmp_path / "mixed"),
+        "--weights", "0.25", "0.75",
+    ])
+    mixed = safetensors.numpy.load_file(str(tmp_path / "mixed" / "model.safetensors"))
+    assert np.allclose(mixed["w"], 0.75)
+    assert np.allclose(mixed["b"], 0.75)
+    assert mixed["w"].dtype == np.float32
+
+    # Key mismatch raises.
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    safetensors.numpy.save_file({"other": np.zeros(2, dtype=np.float32)}, str(bad / "model.safetensors"))
+    with pytest.raises(ValueError, match="key mismatch"):
+        at.mix_torch_params(
+            [at.load_torch_params(tmp_path / "ckpt_0"), at.load_torch_params(bad)], [0.5, 0.5]
+        )
