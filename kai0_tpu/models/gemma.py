@@ -307,6 +307,33 @@ def decode_logits(params: dict, x: jax.Array) -> jax.Array:
     return jnp.dot(x, params["embedder"]["input_embedding"].T.astype(x.dtype))
 
 
+def _remat_policy():
+    """Rematerialization policy for the layer scan.
+
+    ``KAI0_REMAT`` selects the memory/compute trade:
+      - ``nothing`` (default): recompute everything in backward — minimum HBM, the
+        reference's ``nothing_saveable`` behavior (gemma.py:359-381);
+      - ``dots``: save matmul outputs — faster backward, more HBM;
+      - ``none``: no remat — fastest backward, activations fully resident (fits for
+        LoRA fine-tunes / small batches).
+    """
+    import os
+
+    mode = os.environ.get("KAI0_REMAT", "nothing")
+    if mode == "none":
+        return None
+    if mode == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    return jax.checkpoint_policies.nothing_saveable
+
+
+def _maybe_remat(fn):
+    policy = _remat_policy()
+    if policy is None and __import__("os").environ.get("KAI0_REMAT") == "none":
+        return fn
+    return jax.checkpoint(fn, policy=policy, prevent_cse=False)
+
+
 def apply(
     params: dict,
     configs: Sequence[Config],
@@ -330,7 +357,7 @@ def apply(
         new_xs, new_kv = _block(layer_params, configs, xs, layer_kv, positions, mask, adarms_cond)
         return new_xs, new_kv
 
-    body = jax.checkpoint(scan_body, policy=jax.checkpoint_policies.nothing_saveable, prevent_cse=False)
+    body = _maybe_remat(scan_body)
 
     if kv_cache is None:
         # lax.scan needs a uniform xs pytree: scan only over layer params.

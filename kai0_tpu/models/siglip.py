@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from kai0_tpu.ops import attention as _attention
 from kai0_tpu.parallel import sharding as _sharding
 
 
@@ -158,9 +159,8 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
     k = jnp.einsum("bsd,dnh->bsnh", x, params["key"]["kernel"].astype(dtype)) + params["key"]["bias"].astype(dtype)
     v = jnp.einsum("bsd,dnh->bsnh", x, params["value"]["kernel"].astype(dtype)) + params["value"]["bias"].astype(dtype)
     head_dim = q.shape[-1]
-    logits = jnp.einsum("btnh,bsnh->bnts", q / np.sqrt(head_dim), k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
-    encoded = jnp.einsum("bnts,bsnh->btnh", probs, v)
+    # Python-float scale keeps q weakly typed (an np scalar would upcast bf16→f32).
+    encoded = _attention.mhsa_dense(q * float(1.0 / np.sqrt(head_dim)), k, v)
     return jnp.einsum("btnh,nhd->btd", encoded, params["out"]["kernel"].astype(dtype)) + params["out"]["bias"].astype(
         dtype
     )
@@ -207,7 +207,9 @@ def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
     def scan_body(x, block_params):
         return _encoder_block(block_params, x, config.num_heads), None
 
-    body = jax.checkpoint(scan_body, policy=jax.checkpoint_policies.nothing_saveable, prevent_cse=False)
+    from kai0_tpu.models import gemma as _gemma
+
+    body = _gemma._maybe_remat(scan_body)
     x, _ = jax.lax.scan(body, x, params["Transformer"]["encoderblock"])
     x = _layer_norm(params["Transformer"]["encoder_norm"], x)
 

@@ -60,3 +60,25 @@ def _kernel_supported(q, k, v) -> bool:
     # The fused kernel is specialized to MQA (one KV head — true for every Gemma
     # variant the π₀ family uses) and to shapes where fusion beats launch overhead.
     return k.shape[2] == 1 and q.shape[-1] >= 64 and k.shape[1] >= 128
+
+
+def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = True) -> jax.Array:
+    """Dense (unmasked) MHA for the SigLIP encoder. q/k/v [B, T, N, H], q pre-scaled.
+
+    Routes to the fused head-major Pallas kernel on TPU (keeps the
+    ``[B, N, T, S]`` f32 logits in VMEM — ~150 MB/layer at batch 36 otherwise);
+    falls back to the einsum formulation elsewhere.
+    """
+    b, t, n, h = q.shape
+    s = k.shape[1]
+    if use_kernel and jax.default_backend() == "tpu" and t % 128 == 0 and s % 128 == 0 and t == s:
+        from kai0_tpu.ops import pallas_attention
+
+        try:
+            qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+            return pallas_attention.flash_mhsa(qh, kh, vh).transpose(0, 2, 1, 3)
+        except Exception:  # noqa: BLE001 - kernel unavailable: fall back
+            pass
+    logits = jnp.einsum("btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bnts,bsnh->btnh", probs, v)
