@@ -1,0 +1,182 @@
+"""Golden numerics: our functional π₀.₅ vs the reference openpi implementation.
+
+Runs the ACTUAL reference model (mounted read-only at /root/reference) on CPU with
+our initialized parameters injected into its nnx state, and asserts loss and sampled
+actions agree within the 1e-3 fidelity target (BASELINE.md). Skipped when the
+reference tree or its importability is unavailable (e.g. on end-user installs).
+
+The reference imports two runtime-typecheck deps (beartype) and one train-time
+augmentation dep (augmax) that are absent here; they are stubbed — neither affects
+eval-path numerics (augmax is only touched when ``train=True`` augmentation chains
+are built, beartype only wraps functions).
+"""
+
+import pathlib
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference/src")
+
+
+def _import_reference():
+    if not REFERENCE.exists():
+        pytest.skip("reference tree not mounted")
+    import jaxtyping
+
+    jaxtyping._decorator._check_dataclass_annotations = lambda *a, **k: None
+
+    if "beartype" not in sys.modules:
+        bt = types.ModuleType("beartype")
+        bt.beartype = lambda *a, **k: (a[0] if a and callable(a[0]) else (lambda f: f))
+        bt.BeartypeConf = type("BeartypeConf", (), {"__init__": lambda self, *a, **k: None})
+        claw = types.ModuleType("beartype.claw")
+        claw.beartype_package = lambda *a, **k: None
+        claw.beartype_this_package = lambda *a, **k: None
+        bt.claw = claw
+        roar = types.ModuleType("beartype.roar")
+        roar.BeartypeCallHintParamViolation = Exception
+        sys.modules["beartype"] = bt
+        sys.modules["beartype.claw"] = claw
+        sys.modules["beartype.roar"] = roar
+    if "augmax" not in sys.modules:
+        aug = types.ModuleType("augmax")
+        for name in ("Chain", "RandomCrop", "Resize", "Rotate", "ColorJitter", "ByteToFloat"):
+            setattr(aug, name, type(name, (), {"__init__": lambda self, *a, **k: None}))
+        sys.modules["augmax"] = aug
+
+    sys.path.insert(0, str(REFERENCE))
+    try:
+        import openpi.models.model as ref_model
+        import openpi.models.pi0_config as ref_pi0_config
+    except Exception as e:  # noqa: BLE001
+        pytest.skip(f"reference unimportable: {e}")
+    return ref_pi0_config, ref_model
+
+
+@pytest.fixture(scope="module")
+def golden():
+    """(our_config, our_params, ref_model, obs arrays) with identical parameters."""
+    import flax.nnx as nnx
+    import jax
+
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.transforms import flatten_dict
+
+    ref_pi0_config, _ = _import_reference()
+
+    # Dummy-size LLM experts; the reference hardcodes the So400m vision tower, so we
+    # match it (vision_variant is a kai0-tpu extension).
+    ours = _pi0.Pi0Config(
+        paligemma_variant="dummy", action_expert_variant="dummy", dtype="float32", pi05=True
+    )
+    our_params = ours.init_params(jax.random.key(0))
+    flat_ours = flatten_dict(our_params)
+
+    ref_config = ref_pi0_config.Pi0Config(
+        paligemma_variant="dummy", action_expert_variant="dummy", dtype="float32", pi05=True
+    )
+    ref = ref_config.create(jax.random.key(7))
+    graphdef, state = nnx.split(ref)
+    flat_state = state.flat_state()
+    ref_paths = {"/".join(str(p) for p in k) for k, _ in flat_state}
+    our_paths = set(flat_ours)
+    assert ref_paths == our_paths, (
+        f"param layout mismatch: only-ref={sorted(ref_paths - our_paths)[:5]} "
+        f"only-ours={sorted(our_paths - ref_paths)[:5]}"
+    )
+    for k, leaf in flat_state:
+        path = "/".join(str(p) for p in k)
+        assert leaf.value.shape == flat_ours[path].shape, (
+            f"{path}: ref {leaf.value.shape} vs ours {flat_ours[path].shape}"
+        )
+        leaf.value = flat_ours[path]
+    ref_injected = nnx.merge(graphdef, state)
+    return ours, our_params, ref_injected
+
+
+def _fake_inputs(config, batch=2, seed=3):
+    import jax
+
+    obs = config.fake_obs(batch)
+    actions = config.fake_act(batch)
+    # Deterministic non-trivial values.
+    rng = np.random.default_rng(seed)
+    images = {k: np.asarray(rng.uniform(-1, 1, v.shape), np.float32) for k, v in obs.images.items()}
+    state = np.asarray(rng.uniform(-1, 1, obs.state.shape), np.float32)
+    tokens = np.asarray(rng.integers(0, 1000, obs.tokenized_prompt.shape), np.int32)
+    token_mask = np.ones(obs.tokenized_prompt_mask.shape, bool)
+    act = np.asarray(rng.uniform(-1, 1, actions.shape), np.float32)
+    return images, state, tokens, token_mask, act, jax.random.key(11)
+
+
+def test_param_layout_matches_reference(golden):
+    # The fixture asserts the full path/shape contract — load-bearing for loading
+    # released openpi checkpoints (SURVEY.md §7 hard part 1).
+    pass
+
+
+def test_compute_loss_matches_reference(golden):
+    import openpi.models.model as ref_model
+
+    ours, our_params, ref = golden
+    images, state, tokens, token_mask, act, rng = _fake_inputs(ours)
+
+    from kai0_tpu.models import model as _model
+
+    our_obs = _model.Observation(
+        images=images,
+        image_masks={k: np.ones(state.shape[0], bool) for k in images},
+        state=state,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    our_loss = np.asarray(ours.compute_loss(our_params, rng, our_obs, act, train=False))
+
+    ref_obs = ref_model.Observation(
+        images=images,
+        image_masks={k: np.ones(state.shape[0], bool) for k in images},
+        state=state,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    ref_loss = np.asarray(ref.compute_loss(rng, ref_obs, act, train=False))
+
+    assert our_loss.shape == ref_loss.shape
+    assert np.max(np.abs(our_loss - ref_loss)) < 1e-3, (
+        f"loss mismatch: ours={our_loss.mean():.6f} ref={ref_loss.mean():.6f} "
+        f"max abs diff={np.max(np.abs(our_loss - ref_loss)):.2e}"
+    )
+
+
+def test_sample_actions_matches_reference(golden):
+    import openpi.models.model as ref_model
+
+    ours, our_params, ref = golden
+    images, state, tokens, token_mask, _, rng = _fake_inputs(ours)
+
+    from kai0_tpu.models import model as _model
+
+    our_obs = _model.Observation(
+        images=images,
+        image_masks={k: np.ones(state.shape[0], bool) for k in images},
+        state=state,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    our_actions = np.asarray(ours.sample_actions(our_params, rng, our_obs))
+
+    ref_obs = ref_model.Observation(
+        images=images,
+        image_masks={k: np.ones(state.shape[0], bool) for k in images},
+        state=state,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    ref_actions = np.asarray(ref.sample_actions(rng, ref_obs))
+
+    assert our_actions.shape == ref_actions.shape
+    diff = np.max(np.abs(our_actions - ref_actions))
+    assert diff < 1e-3, f"sampled actions diverge: max abs diff {diff:.2e}"
