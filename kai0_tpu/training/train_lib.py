@@ -130,18 +130,26 @@ def train_step(config, tx, trainable_mask, rng, state: training_utils.TrainState
             ),
         )
 
-    # Kernel-params norm: >1-D weights excluding biases/scales/embeddings (train.py:180-188).
-    kernel_params = [
-        v
-        for k, v in flatten_dict(state.params).items()
-        if hasattr(v, "ndim") and v.ndim > 1 and not k.split("/")[-1] in ("bias", "scale", "pos_embedding", "input_embedding")
-    ]
     info = {
         "loss": loss,
         "grad_norm": optax.global_norm(grads),
-        "param_norm": optax.global_norm(kernel_params),
     }
     return new_state, info
+
+
+def param_norm(params: dict) -> jax.Array:
+    """Kernel-params norm: >1-D weights excluding biases/scales/embeddings (train.py:180-188).
+
+    Monitoring only — reads the full parameter tree (~7 GB HBM for π₀.₅), so it runs
+    in the logging path at ``log_interval`` rather than inside every train step (the
+    reference recomputes it per step; pure overhead in the hot loop).
+    """
+    kernel_params = [
+        v
+        for k, v in flatten_dict(params).items()
+        if hasattr(v, "ndim") and v.ndim > 1 and k.split("/")[-1] not in ("bias", "scale", "pos_embedding", "input_embedding")
+    ]
+    return optax.global_norm(kernel_params)
 
 
 def main(config: _config.TrainConfig):
@@ -213,6 +221,7 @@ def main(config: _config.TrainConfig):
         if step % config.log_interval == 0:
             stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *infos)
             reduced = jax.device_get(jax.tree.map(jnp.mean, stacked))
+            reduced["param_norm"] = float(jax.jit(param_norm)(train_state.params))
             elapsed = time.time() - t_last
             t_last = time.time()
             reduced["steps_per_sec"] = len(infos) / max(elapsed, 1e-9)

@@ -297,3 +297,105 @@ def test_rtc_guided_sampling_matches_reference(golden):
     assert our_actions.shape == ref_actions.shape
     diff = np.max(np.abs(our_actions - ref_actions))
     assert diff < 1e-3, f"RTC guided actions diverge: max abs diff {diff:.2e}"
+
+
+def test_pi0_fast_loss_and_decode_match_reference():
+    """π₀-FAST: next-token CE loss + greedy KV-cache decode (pi0_fast.py:198-313)."""
+    import flax.nnx as nnx
+    import jax
+
+    ref_pc, ref_model_mod = _import_reference()
+    import openpi.models.gemma_fast as ref_gemma_fast
+    import openpi.models.pi0_fast as ref_fast_mod
+
+    # The reference gemma_fast has no test-size variant (only gemma_2b[_lora]);
+    # register one matching our "dummy" dims so the comparison runs in seconds.
+    import ml_collections
+
+    _orig_get_config = ref_gemma_fast.get_config
+
+    def _patched(variant):
+        if variant == "dummy":
+            return ml_collections.ConfigDict(
+                {
+                    "variant": variant,
+                    "width": 64,
+                    "depth": 4,
+                    "mlp_dim": 128,
+                    "num_heads": 8,
+                    "num_kv_heads": 1,
+                    "head_dim": 16,
+                    "norm_eps": 1e-6,
+                    "vocab_size": 257_152,
+                    "scan": True,
+                    "remat_policy": "nothing_saveable",
+                }
+            )
+        return _orig_get_config(variant)
+
+    ref_gemma_fast.get_config = _patched
+
+    from kai0_tpu.models import model as _model
+    from kai0_tpu.models import pi0_fast as _pi0_fast
+    from kai0_tpu.transforms import flatten_dict
+
+    ours = _pi0_fast.Pi0FASTConfig(
+        paligemma_variant="dummy", dtype="float32", action_dim=8, action_horizon=10, max_token_len=48
+    )
+    our_params = ours.init_params(jax.random.key(2))
+    flat_ours = flatten_dict(our_params)
+
+    ref_cfg = ref_fast_mod.Pi0FASTConfig(
+        paligemma_variant="dummy", dtype="float32", action_dim=8, action_horizon=10, max_token_len=48
+    )
+    ref = ref_cfg.create(jax.random.key(10))
+    graphdef, state = nnx.split(ref)
+    flat_state = state.flat_state()
+    ref_paths = {"/".join(str(p) for p in k) for k, _ in flat_state}
+    assert ref_paths == set(flat_ours), (
+        f"only-ref={sorted(ref_paths - set(flat_ours))[:5]} "
+        f"only-ours={sorted(set(flat_ours) - ref_paths)[:5]}"
+    )
+    for k, leaf in flat_state:
+        leaf.value = flat_ours["/".join(str(p) for p in k)]
+    ref = nnx.merge(graphdef, state)
+
+    rng_np = np.random.default_rng(17)
+    batch = 2
+    images = {
+        k: np.asarray(rng_np.uniform(-1, 1, (batch, 224, 224, 3)), np.float32)
+        for k in ("base_0_rgb", "base_1_rgb", "wrist_0_rgb")
+    }
+    tokens = np.asarray(rng_np.integers(0, 1000, (batch, 48)), np.int32)
+    token_mask = np.ones((batch, 48), bool)
+    ar_mask = np.asarray([([0] * 30 + [1] * 18)] * batch, np.int32)
+    loss_mask = np.asarray([([False] * 30 + [True] * 18)] * batch, bool)
+    kw = dict(
+        images=images,
+        image_masks={k: np.ones(batch, bool) for k in images},
+        state=np.asarray(rng_np.uniform(-1, 1, (batch, 8)), np.float32),
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+        token_ar_mask=ar_mask,
+        token_loss_mask=loss_mask,
+    )
+    act = np.zeros((batch, 10, 8), np.float32)
+    rng = jax.random.key(21)
+
+    our_loss = np.asarray(ours.compute_loss(our_params, rng, _model.Observation(**kw), act, train=False))
+    ref_loss = np.asarray(
+        ref.compute_loss(rng, ref_model_mod.Observation(**kw), act, train=False)
+    )
+    assert our_loss.shape == ref_loss.shape
+    assert np.max(np.abs(our_loss - ref_loss)) < 1e-3, (
+        f"FAST loss mismatch: max diff {np.max(np.abs(our_loss - ref_loss)):.2e}"
+    )
+
+    our_tokens = np.asarray(
+        ours.sample_actions(our_params, rng, _model.Observation(**kw), max_decoding_steps=16)
+    )
+    ref_out = np.asarray(
+        ref.sample_actions(rng, ref_model_mod.Observation(**kw), max_decoding_steps=16)
+    )
+    assert our_tokens.shape == ref_out.shape
+    assert np.array_equal(our_tokens, ref_out), "greedy decode token mismatch"
