@@ -26,8 +26,36 @@ def init_logging():
     logging.getLogger().handlers[0].setFormatter(formatter)
 
 
+def maybe_init_multihost():
+    """Multi-host JAX: initialize the distributed runtime when launched as a pod.
+
+    The reference explicitly forbids multi-process training
+    (``data_loader.py:479-480``); here the loader shards each process's local batch
+    via ``jax.make_array_from_process_local_data`` and the mesh spans all hosts.
+    On TPU pods `jax.distributed.initialize()` autodetects the coordinator from the
+    TPU environment; elsewhere set JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/
+    JAX_PROCESS_ID (or pass KAI0_MULTIHOST=0 to skip).
+    """
+    if os.environ.get("KAI0_MULTIHOST", "auto") == "0":
+        return
+    pod_env = any(
+        os.environ.get(var)
+        for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+    ) or os.environ.get("KAI0_MULTIHOST") == "1"
+    if not pod_env:
+        return
+    import jax
+
+    jax.distributed.initialize()
+    logging.info(
+        f"Initialized multi-host JAX: process {jax.process_index()}/{jax.process_count()}, "
+        f"{jax.local_device_count()} local / {jax.device_count()} global devices"
+    )
+
+
 def main():
     init_logging()
+    maybe_init_multihost()
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import train_lib
 
