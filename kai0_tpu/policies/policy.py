@@ -103,12 +103,17 @@ class Policy:
     def warmup(self, example: dict | None = None) -> float:
         """Compile the sampler on a fake observation; returns warmup seconds."""
         start = time.monotonic()
-        if example is None:
+        done = False
+        if example is not None:
+            try:
+                self.infer(example)
+                done = True
+            except Exception as e:  # noqa: BLE001 — example/transform mismatch: spec warmup below
+                logger.warning(f"Example warmup failed ({e}); falling back to spec warmup")
+        if not done:
             observation = self._model_config.fake_obs(1)
             sample_kwargs = dict(self._sample_kwargs)
             self._sample_actions(self._params, jax.random.key(0), observation, **sample_kwargs)
-        else:
-            self.infer(example)
         elapsed = time.monotonic() - start
         logger.info(f"Policy warmup took {elapsed:.1f}s")
         return elapsed

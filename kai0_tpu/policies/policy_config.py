@@ -73,5 +73,30 @@ def create_trained_policy(
         metadata=train_config.policy_metadata,
     )
     if warmup:
-        policy.warmup()
+        policy.warmup(_warmup_example(train_config))
     return policy
+
+
+def _warmup_example(train_config) -> dict | None:
+    """Raw observation payload matching the config's robot family, or None.
+
+    Warming through the FULL transform chain also compiles the host-side jitted
+    helpers (resize_with_pad etc.), so the first client request hits zero compiles
+    — ``fake_obs`` warmup alone leaves those cold (~10 s first-request stall over
+    a remote compile path).
+    """
+    from kai0_tpu.policies import agilex_policy, aloha_policy, droid_policy, libero_policy
+    from kai0_tpu.training import robot_configs
+
+    data = train_config.data
+    if isinstance(data, (robot_configs.LerobotAgilexDataConfig, robot_configs.LerobotARXDataConfig)):
+        return agilex_policy.make_agilex_example()
+    if isinstance(data, robot_configs.LeRobotAlohaDataConfig):
+        return aloha_policy.make_aloha_example()
+    if isinstance(data, (robot_configs.LeRobotDROIDDataConfig, robot_configs.RLDSDroidDataConfig)):
+        return droid_policy.make_droid_example()
+    if isinstance(data, robot_configs.LeRobotLiberoDataConfig):
+        return libero_policy.make_libero_example()
+    # Unknown data family (e.g. fake/simple configs): try the transform chain with
+    # the agilex payload, falling back to spec-level warmup.
+    return agilex_policy.make_agilex_example()
