@@ -153,15 +153,19 @@ def _layer_norm(params: dict, x: jax.Array) -> jax.Array:
 
 
 def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
-    """Flax-style MultiHeadDotProductAttention (bidirectional, f32 softmax)."""
+    """Flax-style MultiHeadDotProductAttention (bidirectional, f32 softmax).
+
+    Projections produce the head-major layout the fused kernel consumes directly
+    (no transposes between projection and attention).
+    """
     dtype = x.dtype
-    q = jnp.einsum("btd,dnh->btnh", x, params["query"]["kernel"].astype(dtype)) + params["query"]["bias"].astype(dtype)
-    k = jnp.einsum("bsd,dnh->bsnh", x, params["key"]["kernel"].astype(dtype)) + params["key"]["bias"].astype(dtype)
-    v = jnp.einsum("bsd,dnh->bsnh", x, params["value"]["kernel"].astype(dtype)) + params["value"]["bias"].astype(dtype)
+    q = jnp.einsum("btd,dnh->bnth", x, params["query"]["kernel"].astype(dtype)) + params["query"]["bias"].astype(dtype)[None, :, None, :]
+    k = jnp.einsum("bsd,dnh->bnsh", x, params["key"]["kernel"].astype(dtype)) + params["key"]["bias"].astype(dtype)[None, :, None, :]
+    v = jnp.einsum("bsd,dnh->bnsh", x, params["value"]["kernel"].astype(dtype)) + params["value"]["bias"].astype(dtype)[None, :, None, :]
     head_dim = q.shape[-1]
     # Python-float scale keeps q weakly typed (an np scalar would upcast bf16→f32).
-    encoded = _attention.mhsa_dense(q * float(1.0 / np.sqrt(head_dim)), k, v)
-    return jnp.einsum("btnh,nhd->btd", encoded, params["out"]["kernel"].astype(dtype)) + params["out"]["bias"].astype(
+    encoded = _attention.mhsa_dense_hm(q * float(1.0 / np.sqrt(head_dim)), k, v)
+    return jnp.einsum("bnth,nhd->btd", encoded, params["out"]["kernel"].astype(dtype)) + params["out"]["bias"].astype(
         dtype
     )
 

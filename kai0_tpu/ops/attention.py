@@ -71,7 +71,16 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
     """
     b, t, n, h = q.shape
     s = k.shape[1]
-    if use_kernel and jax.default_backend() == "tpu" and t % 128 == 0 and s % 128 == 0 and t == s:
+    import os
+
+    if (
+        use_kernel
+        and os.environ.get("KAI0_SIGLIP_ATTN", "kernel") == "kernel"
+        and jax.default_backend() == "tpu"
+        and t % 128 == 0
+        and s % 128 == 0
+        and t == s
+    ):
         from kai0_tpu.ops import pallas_attention
 
         try:
@@ -82,3 +91,28 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
     logits = jnp.einsum("btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bnts,bsnh->btnh", probs, v)
+
+
+def mhsa_dense_hm(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = True) -> jax.Array:
+    """Dense MHA in head-major layout [B, N, T, H] (no transposes around the kernel)."""
+    import os
+
+    b, n, t, h = q.shape
+    s = k.shape[2]
+    if (
+        use_kernel
+        and os.environ.get("KAI0_SIGLIP_ATTN", "kernel") == "kernel"
+        and jax.default_backend() == "tpu"
+        and t % 128 == 0
+        and s % 128 == 0
+        and t == s
+    ):
+        from kai0_tpu.ops import pallas_attention
+
+        try:
+            return pallas_attention.flash_mhsa(q, k, v)
+        except Exception:  # noqa: BLE001 - kernel unavailable: fall back
+            pass
+    logits = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bnts,bnsh->bnth", probs, v)
