@@ -25,6 +25,10 @@ def _setup_compilation_cache() -> None:
 
     if os.environ.get("KAI0_NO_COMPILE_CACHE") == "1":
         return
+    # Data-loader worker processes are numpy/cv2-only; importing jax there costs
+    # seconds of boot and hundreds of MB per worker.
+    if os.environ.get("KAI0_DATA_WORKER") == "1":
+        return
     try:
         import jax
 

@@ -15,6 +15,7 @@ per-episode with a small LRU.
 from __future__ import annotations
 
 import collections
+import os
 import pathlib
 import threading
 
@@ -89,6 +90,9 @@ class _EpisodeTableCache:
         return out
 
 
+_CAPS_PER_THREAD = int(os.environ.get("KAI0_VIDEO_CAPS_PER_THREAD", "64"))
+
+
 class _VideoReader:
     """Thread-local cv2 video readers with sequential-read fast path."""
 
@@ -108,7 +112,10 @@ class _VideoReader:
             if not cap.isOpened():
                 raise FileNotFoundError(f"Cannot open video {path}")
             entry = caps[key] = {"cap": cap, "next": 0}
-            while len(caps) > 8:
+            # LRU sized well above the typical working set (episodes × cameras hit
+            # by one worker): evicting an open capture costs a reopen + keyframe
+            # seek (~10× a sequential read), which cripples threaded loading.
+            while len(caps) > _CAPS_PER_THREAD:
                 _, old = caps.popitem(last=False)
                 old["cap"].release()
         caps.move_to_end(key)
@@ -152,6 +159,18 @@ class LeRobotDataset:
         self._episode_lengths = {i: all_episodes[i]["length"] for i in selected}
         # Global frame index → (episode, frame) mapping.
         self._offsets = np.cumsum([0] + [self._episode_lengths[i] for i in selected])
+
+    def __getstate__(self) -> dict:
+        """Picklable for process-pool loader workers: drop decoder/table caches."""
+        state = self.__dict__.copy()
+        state["_tables"] = None
+        state["_videos"] = None
+        return state
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._tables = _EpisodeTableCache(self.metadata)
+        self._videos = _VideoReader()
 
     @property
     def tasks(self) -> dict[int, str]:

@@ -10,19 +10,35 @@ from __future__ import annotations
 
 import functools
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
+# jax is imported lazily so data-loader worker processes (numpy/cv2 only) never
+# pay the jax import / backend-plugin cost.
 
-@functools.partial(jax.jit, static_argnums=(1, 2, 3))
-def resize_with_pad(
-    images: jax.Array,
-    height: int,
-    width: int,
-    method: str | jax.image.ResizeMethod = jax.image.ResizeMethod.LINEAR,
-) -> jax.Array:
+
+def resize_with_pad(images, height: int, width: int, method=None):
     """Resize ``[*b, h, w, c]`` images to (height, width) without distortion, padding with black."""
+    import jax
+
+    if method is None:
+        method = jax.image.ResizeMethod.LINEAR
+    return _resize_with_pad_jit(images, height, width, method)
+
+
+@functools.cache
+def _get_resize_jit():
+    import jax
+
+    return jax.jit(_resize_with_pad_impl, static_argnums=(1, 2, 3))
+
+
+def _resize_with_pad_jit(images, height, width, method):
+    return _get_resize_jit()(images, height, width, method)
+
+
+def _resize_with_pad_impl(images, height: int, width: int, method):
+    import jax
+    import jax.numpy as jnp
     has_batch_dim = images.ndim == 4
     if not has_batch_dim:
         images = images[None]
@@ -63,7 +79,7 @@ def resize_with_pad_np(images: np.ndarray, height: int, width: int) -> np.ndarra
     try:
         import cv2
     except ImportError:  # pragma: no cover
-        return np.asarray(resize_with_pad(jnp.asarray(images), height, width))
+        return np.asarray(resize_with_pad(images, height, width))
 
     has_batch_dim = images.ndim == 4
     if not has_batch_dim:

@@ -45,16 +45,8 @@ class DataLoader(Protocol):
     def __iter__(self) -> Iterator[tuple[_model.Observation, np.ndarray]]: ...
 
 
-class TransformedDataset:
-    def __init__(self, dataset: Dataset, transforms: Sequence[_transforms.DataTransformFn]):
-        self._dataset = dataset
-        self._transform = _transforms.compose(transforms)
-
-    def __getitem__(self, index: int) -> dict:
-        return self._transform(self._dataset[index])
-
-    def __len__(self) -> int:
-        return len(self._dataset)
+# Defined in a jax-free module so worker processes unpickling it stay lightweight.
+from kai0_tpu.data.transformed import TransformedDataset  # noqa: E402
 
 
 class FakeDataset:
@@ -140,8 +132,19 @@ class _LoaderState:
     epoch: int = 0
 
 
+from kai0_tpu.data.transformed import worker_get as _worker_get  # noqa: E402
+from kai0_tpu.data.transformed import worker_init as _worker_init  # noqa: E402
+
+
 class NumpyDataLoader:
-    """Thread-pooled, prefetching loader producing sharded device batches."""
+    """Prefetching loader producing sharded device batches.
+
+    ``num_workers > 0`` reads items in WORKER PROCESSES (spawn): cv2's FFMPEG
+    ``VideoCapture`` holds the GIL during seek/decode, so threads cannot scale
+    video-backed datasets — the reference reaches the same conclusion and uses
+    torch worker processes (data_loader.py:538-550). ``num_workers == 0`` reads
+    in a single producer thread (tests, fake data).
+    """
 
     def __init__(
         self,
@@ -161,10 +164,52 @@ class NumpyDataLoader:
         self._batch_size = local_batch_size
         self._sharding = sharding
         self._shuffle = shuffle
-        self._num_workers = max(1, num_workers)
+        self._num_workers = max(0, num_workers)
         self._seed = seed
         self._num_batches = num_batches
         self._drop_last = drop_last
+        self._pool = None
+
+    def _process_pool(self):
+        if self._pool is None:
+            import multiprocessing
+            import os
+            import pickle
+
+            ctx = multiprocessing.get_context("spawn")
+            # Workers do numpy-only work: force CPU jax and no XLA preallocation
+            # in case the dataset module chain imports jax (reference :545-550).
+            env_backup = {
+                k: os.environ.get(k)
+                for k in ("JAX_PLATFORMS", "XLA_PYTHON_CLIENT_PREALLOCATE", "KAI0_DATA_WORKER")
+            }
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["XLA_PYTHON_CLIENT_PREALLOCATE"] = "false"
+            os.environ["KAI0_DATA_WORKER"] = "1"
+            try:
+                self._pool = ctx.Pool(
+                    self._num_workers,
+                    initializer=_worker_init,
+                    initargs=(pickle.dumps(self._dataset),),
+                )
+            finally:
+                for k, v in env_backup.items():
+                    if v is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = v
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
 
     def _index_stream(self) -> Iterator[np.ndarray]:
         epoch = 0
@@ -183,12 +228,17 @@ class NumpyDataLoader:
         indices = self._index_stream()
         produced = 0
 
-        pool = concurrent.futures.ThreadPoolExecutor(max_workers=self._num_workers)
+        proc_pool = self._process_pool() if self._num_workers > 0 else None
+        pool = concurrent.futures.ThreadPoolExecutor(max_workers=1)
         prefetch: queue.Queue = queue.Queue(maxsize=2)
         stop = threading.Event()
 
         def collate(batch_indices):
-            items = list(pool.map(self._dataset.__getitem__, batch_indices))
+            if proc_pool is not None:
+                chunk = max(1, len(batch_indices) // (self._num_workers * 2))
+                items = proc_pool.map(_worker_get, [int(i) for i in batch_indices], chunksize=chunk)
+            else:
+                items = [self._dataset[int(i)] for i in batch_indices]
             return jax.tree.map(lambda *xs: np.stack(xs), *items)
 
         def put_until_stopped(item) -> bool:
