@@ -9,9 +9,11 @@ the hot loop, matching the reference's training hot path (scripts/train.py:267-2
 
 On a single 16 GB chip the full-precision AdamW state of the 3B model does not fit
 (the reference needs >70 GB for full fine-tune, README.md:73-77), so single-chip runs
-measure the LoRA fine-tune step (frozen bf16 base + f32 LoRA — the same configuration
-the reference documents for single-GPU training, README.md:76). With ≥4 chips the
-full fine-tune state is FSDP-sharded and the full step is measured.
+measure the LoRA fine-tune step — frozen base + f32 LoRA, the configuration the
+reference documents for single-GPU training (README.md:76), with the frozen base
+int8-quantized onto the v5e's 2x-rate int8 MXU path (kai0_tpu/ops/quant.py;
+KAI0_BENCH_INT8=0 for the bf16 reference-parity configuration). With ≥4 chips the
+full fine-tune state is FSDP-sharded and the full bf16 step is measured.
 
 vs_baseline: the reference publishes no throughput numbers (BASELINE.md). The
 baseline used here is an analytic A100 estimate for the same step: ~14 TFLOP/sample
@@ -33,7 +35,7 @@ import jax.numpy as jnp
 A100_BASELINE_SAMPLES_PER_SEC = 6.7  # analytic estimate, see module docstring
 
 
-def build(config, mesh, batch_size: int):
+def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
     from kai0_tpu.parallel import sharding
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import train_lib
@@ -45,6 +47,7 @@ def build(config, mesh, batch_size: int):
         exp_name="bench",
         fsdp_devices=mesh.shape[sharding.FSDP_AXIS],
         ema_decay=None,  # EMA doubles param HBM; reference kai0 configs disable it too
+        quantize_frozen=quantize_frozen,
     )
     rng = jax.random.key(0)
     state, state_sharding, tx, trainable_mask = train_lib.init_train_state(
@@ -97,6 +100,7 @@ def main():
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
+    quantize = False
 
     if backend == "tpu" and n_chips >= 4:
         model = _pi0.Pi0Config(pi05=True)
@@ -113,6 +117,10 @@ def main():
         import os
         batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "12")) * n_chips
         fsdp = 1
+        # Int8 frozen base is the documented fast path for single-chip LoRA
+        # fine-tunes (kai0_tpu/ops/quant.py; +11% measured, PERF.md). KAI0_BENCH_INT8=0
+        # benches the bf16 reference-parity configuration instead.
+        quantize = os.environ.get("KAI0_BENCH_INT8", "1") not in ("0", "false")
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,
@@ -128,7 +136,7 @@ def main():
     mesh = sharding.make_mesh(fsdp)
     print(f"bench: backend={backend} chips={n_chips} mode={mode} batch={batch_size}", file=sys.stderr)
 
-    step, multi_step, state, batch, rng = build(model, mesh, batch_size)
+    step, multi_step, state, batch, rng = build(model, mesh, batch_size, quantize_frozen=quantize)
 
     with sharding.set_mesh(mesh):
         # Warmup: compile + 1 step.

@@ -49,13 +49,26 @@ class Config:
     lora_ffn: _lora.LoRAConfig | None = None
 
 
-Variant = Literal["dummy", "gemma_300m", "gemma_300m_lora", "gemma_2b", "gemma_2b_lora"]
+Variant = Literal["dummy", "dummy_lora", "gemma_300m", "gemma_300m_lora", "gemma_2b", "gemma_2b_lora"]
 
 
 def get_config(variant: Variant) -> Config:
     """Gemma variant table (parity: reference gemma.py:58-109)."""
     if variant == "dummy":
         return Config(width=64, depth=4, mlp_dim=128, num_heads=8, num_kv_heads=1, head_dim=16)
+    if variant == "dummy_lora":
+        # Test-size LoRA variant: exercises the freeze filter / frozen-base paths
+        # (incl. int8 quantization) on CPU in seconds.
+        return Config(
+            width=64,
+            depth=4,
+            mlp_dim=128,
+            num_heads=8,
+            num_kv_heads=1,
+            head_dim=16,
+            lora_attn=_lora.LoRAConfig(rank=4, alpha=4.0),
+            lora_ffn=_lora.LoRAConfig(rank=4, alpha=4.0),
+        )
     if variant == "gemma_300m":
         return Config(width=1024, depth=18, mlp_dim=4096, num_heads=8, num_kv_heads=1, head_dim=256)
     if variant == "gemma_2b":

@@ -18,6 +18,8 @@ import re
 import jax
 import jax.numpy as jnp
 
+from kai0_tpu.ops import quant as _quant
+
 
 @dataclasses.dataclass(frozen=True)
 class LoRAConfig:
@@ -58,7 +60,12 @@ def apply_einsum(params: dict, eqn: str, x: jax.Array, lora_config: LoRAConfig |
     v5e HBM budget, for a ≤4% matmul-time win.)
     """
     dtype = x.dtype
-    result = jnp.einsum(eqn, x, params["w"].astype(dtype))
+    w = params["w"]
+    if _quant.is_quant(w):
+        # Frozen int8 base (KAI0_INT8 LoRA fast path) — one rank-2 MXU int8 matmul.
+        result = _quant.apply_quant_einsum(w, eqn, x)
+    else:
+        result = jnp.einsum(eqn, x, w.astype(dtype))
     if (config := lora_config) and "lora_a" in params:
         eqn_a, eqn_b = _make_lora_eqns(eqn, config)
         lora = jnp.einsum(eqn_a, x, params["lora_a"].astype(dtype))
@@ -105,26 +112,38 @@ def init_ffn(rng: jax.Array, features: int, hidden_dim: int, lora_config: LoRACo
 def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
     """Gated-GELU FFN with optional (unscaled, reference-parity) LoRA terms."""
 
-    def dot(x, w, lora_ab):
-        base = jnp.dot(x, w.astype(x.dtype))
+    def lora_term(x, lora_ab):
         if lora_ab is None:
-            return base
+            return 0
         a, b = lora_ab
-        return base + jnp.dot(jnp.dot(x, a.astype(x.dtype)), b.astype(x.dtype))
+        return jnp.dot(jnp.dot(x, a.astype(x.dtype)), b.astype(x.dtype))
+
+    def dot(x, w, lora_ab):
+        if _quant.is_quant(w):
+            return _quant.apply_quant_einsum(w, "BTF,FD->BTD", x) + lora_term(x, lora_ab)
+        return jnp.dot(x, w.astype(x.dtype)) + lora_term(x, lora_ab)
 
     has_lora = "gating_einsum_lora_a" in params
     gating = params["gating_einsum"]
-    ff_gate = dot(
-        x,
-        gating[0],
-        (params["gating_einsum_lora_a"][0], params["gating_einsum_lora_b"][0]) if has_lora else None,
-    )
+    if _quant.is_quant(gating):
+        # Int8 gate+up as two column-sliced matmuls (one stacked QuantArray leaf);
+        # the fused 2BTF einsum form OOMs 16 GB chips — see apply_quant_split.
+        ff_gate, ff1 = _quant.apply_quant_split(gating, x)
+        if has_lora:
+            ff_gate = ff_gate + lora_term(x, (params["gating_einsum_lora_a"][0], params["gating_einsum_lora_b"][0]))
+            ff1 = ff1 + lora_term(x, (params["gating_einsum_lora_a"][1], params["gating_einsum_lora_b"][1]))
+    else:
+        ff_gate = dot(
+            x,
+            gating[0],
+            (params["gating_einsum_lora_a"][0], params["gating_einsum_lora_b"][0]) if has_lora else None,
+        )
+        ff1 = dot(
+            x,
+            gating[1],
+            (params["gating_einsum_lora_a"][1], params["gating_einsum_lora_b"][1]) if has_lora else None,
+        )
     gate_value = jax.nn.gelu(ff_gate)
-    ff1 = dot(
-        x,
-        gating[1],
-        (params["gating_einsum_lora_a"][1], params["gating_einsum_lora_b"][1]) if has_lora else None,
-    )
     activations = gate_value * ff1
     return dot(
         activations,

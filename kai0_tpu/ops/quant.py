@@ -1,0 +1,324 @@
+"""Int8 quantization for frozen base weights (LoRA fine-tune fast path).
+
+TPU v5e executes int8xint8->int32 matmuls at 394 TOPS vs 197 bf16 TFLOPs. During a
+LoRA fine-tune the base weights are frozen, so they can be quantized ONCE at train
+state init (symmetric, per-output-channel scales) and every base matmul in the hot
+loop — forward, the remat recompute, and the activation-gradient matmul — runs on
+the int8 MXU path. Activations (and, optionally, incoming gradients) are quantized
+dynamically per row, SwitchBack-style (arXiv:2304.13013): y ≈ (q_row(x) @ Wq) * s_x
+* s_w, with a straight-through estimator through the rounding.
+
+Measured on v5e-1 (see PERF.md): 1.68x over bf16 on the Gemma FFN gate/up shape,
+1.26x on FFN down / attention projections, grad cosine vs bf16 > 0.9999 per layer.
+
+The reference has no quantization support anywhere; this is a TPU-native addition
+(its LoRA path, src/openpi/models/lora.py, keeps the frozen base in bf16). Enabled
+by ``TrainConfig.quantize_frozen`` / ``KAI0_INT8=1``; off by default so checkpoint
+numerics match the reference exactly.
+
+Design notes:
+- ``QuantArray`` is a registered pytree replacing the frozen weight leaf, so the
+  existing tree machinery (fsdp_sharding, lax.scan over stacked layers, Orbax,
+  donation) handles it without special cases; tree transforms that pair params with
+  a boolean mask stop descent via ``is_quant(x)`` is_leaf checks.
+- Weights are stored pre-transposed in a 2-D (contracted, out) layout derived from
+  the einsum equation of their call site, so every apply is one rank-2 int8 matmul
+  (one MXU dot; no gather/transpose in the hot loop).
+- Checkpoints keep the openpi params contract: ``dequantize_tree`` restores the
+  original shape/dtype on save; quantization is idempotent (the max-magnitude
+  element always rounds to +-127), so save -> resume -> requantize is lossless.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import os
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=("q", "s"),
+    meta_fields=("eqn", "orig_shape", "orig_dtype"),
+)
+@dataclasses.dataclass
+class QuantArray:
+    """Symmetric int8 weight + per-output-channel f32 scales in 2-D matmul layout.
+
+    ``q``: int8 [K, N] (or [L, K, N] when stacked over a scan depth axis);
+    ``s``: f32 [N] (or [L, N]); ``W[perm].reshape(K, N) ~= q * s``.
+    ``eqn`` is the einsum equation of the call site (defines the layout);
+    ``orig_shape``/``orig_dtype`` describe the pre-quantization weight.
+    """
+
+    q: jax.Array
+    s: jax.Array
+    eqn: str
+    orig_shape: tuple[int, ...]
+    orig_dtype: str
+
+
+def is_quant(x) -> bool:
+    return isinstance(x, QuantArray)
+
+
+def _parse(eqn: str) -> tuple[str, str, str, str, str]:
+    """Returns (lhs, rhs, out, contracted, w_other) label strings."""
+    m = re.match(r"^([a-zA-Z0-9]+),([a-zA-Z0-9]+)->([a-zA-Z0-9]+)$", eqn)
+    if not m:
+        raise ValueError(f"Unsupported einsum eqn: {eqn}")
+    lhs, rhs, out = m.groups()
+    contracted = "".join(l for l in lhs if l in rhs)
+    if not lhs.endswith(contracted):
+        raise ValueError(f"Contracted labels must be trailing in lhs: {eqn}")
+    w_other = "".join(l for l in rhs if l not in contracted)
+    return lhs, rhs, out, contracted, w_other
+
+
+def quantize_einsum_weight(w: jax.Array, eqn: str, *, stacked: bool = False) -> QuantArray:
+    """Quantize an einsum weight into the 2-D (contracted, out) int8 layout.
+
+    ``stacked=True`` for weights with a leading scan depth axis (gemma layers).
+    """
+    if stacked:
+        # lax.map (not vmap): quantization transposes the weight through an f32
+        # copy — serialized per layer that is ~270 MB transient, vmapped over an
+        # 18-layer gating stack it is ~4.8 GB, which blows the init-program peak
+        # on 16 GB chips and fragments the heap for the train step that follows.
+        qa = jax.lax.map(lambda wl: quantize_einsum_weight(wl, eqn), w)
+        return dataclasses.replace(qa, orig_shape=tuple(w.shape[1:]))
+    _, rhs, _, contracted, w_other = _parse(eqn)
+    if w.ndim != len(rhs):
+        raise ValueError(f"Weight rank {w.ndim} does not match rhs of {eqn}")
+    perm = [rhs.index(l) for l in contracted] + [rhs.index(l) for l in w_other]
+    k = int(np.prod([w.shape[rhs.index(l)] for l in contracted]))
+    w2 = jnp.transpose(w, perm).reshape(k, -1).astype(jnp.float32)
+    s = jnp.max(jnp.abs(w2), axis=0) / 127.0
+    s = jnp.maximum(s, 1e-30)
+    q = jnp.round(w2 / s).astype(jnp.int8)
+    return QuantArray(q=q, s=s, eqn=eqn, orig_shape=tuple(w.shape), orig_dtype=str(w.dtype))
+
+
+def dequantize(qa: QuantArray) -> jax.Array:
+    """Reconstruct the weight in its original shape/dtype (openpi checkpoint layout)."""
+    if qa.q.ndim == 3:  # stacked over depth
+        return jax.vmap(lambda q, s: _dequantize_2d(q, s, qa.eqn, qa.orig_shape, qa.orig_dtype))(qa.q, qa.s)
+    return _dequantize_2d(qa.q, qa.s, qa.eqn, qa.orig_shape, qa.orig_dtype)
+
+
+def _dequantize_2d(q, s, eqn, orig_shape, orig_dtype):
+    _, rhs, _, contracted, w_other = _parse(eqn)
+    perm = [rhs.index(l) for l in contracted] + [rhs.index(l) for l in w_other]
+    permuted_shape = [orig_shape[i] for i in perm]
+    w2 = q.astype(jnp.float32) * s
+    inv = np.argsort(perm)
+    return jnp.transpose(w2.reshape(permuted_shape), inv).astype(orig_dtype)
+
+
+def _bwd_int8_enabled() -> bool:
+    return os.environ.get("KAI0_INT8_BWD", "1") not in ("0", "false")
+
+
+# TPU dots don't fuse their epilogue: the int32 accumulator and the f32 scaling
+# copy are materialized in HBM. At batch 12 the FFN gate/up sites produce ~800 MB
+# int32 temporaries — enough to OOM a 16 GB chip that runs fine in bf16. Row-chunk
+# any qmm whose per-buffer temporaries exceed this budget; lax.map serializes the
+# chunks so only one chunk's temporaries are live at a time.
+_CHUNK_BYTES = int(os.environ.get("KAI0_INT8_CHUNK_MB", "288")) * 2**20
+
+
+def _row_chunks(m: int, width: int) -> int:
+    """Smallest divisor of m (≤8) bounding an [m/c, width] f32 buffer to the budget."""
+    best = 1
+    for c in (1, 2, 3, 4, 6, 8):
+        if m % c == 0:
+            best = c
+            if (m // c) * width * 4 <= _CHUNK_BYTES:
+                return c
+    return best
+
+
+@functools.lru_cache(maxsize=None)
+def _make_qmm(bwd_int8: bool):
+    """Rank-2 quantized matmul y = q_row(x) @ (q * s), straight-through d/dx.
+
+    bwd computes only dL/dx (the weight is frozen — its cotangent is float0/zero);
+    with ``bwd_int8`` the incoming gradient is also row-quantized so the backward
+    matmul rides the int8 MXU path: dx = q_row(dy * s) @ q^T * s_row.
+    """
+
+    @jax.custom_vjp
+    def qmm(x, q, s):
+        return _qmm_fwd_impl(x, q, s)
+
+    def fwd(x, q, s):
+        return _qmm_fwd_impl(x, q, s), (q, s)
+
+    def bwd(res, dy):
+        q, s = res
+
+        def bwd_chunk(dyc):
+            g = dyc.astype(jnp.float32) * s
+            if bwd_int8:
+                sg = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
+                gq = jnp.round(g / sg).astype(jnp.int8)
+                dxi = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+                return (dxi.astype(jnp.float32) * sg).astype(dy.dtype)
+            return jax.lax.dot_general(g.astype(dy.dtype), q.astype(dy.dtype), (((1,), (1,)), ((), ())))
+
+        dx = _row_chunked(bwd_chunk, dy, max(q.shape))
+        return dx, np.zeros(q.shape, jax.dtypes.float0), np.zeros(s.shape, jax.dtypes.float0)
+
+    qmm.defvjp(fwd, bwd)
+    return qmm
+
+
+def _row_chunked(f, x, width: int):
+    """Apply f (rows -> rows) over row chunks of x, serialized via lax.map."""
+    m = x.shape[0]
+    c = _row_chunks(m, width)
+    if c == 1:
+        return f(x)
+    ys = jax.lax.map(f, x.reshape(c, m // c, *x.shape[1:]))
+    return ys.reshape(m, *ys.shape[2:])
+
+
+def _qmm_fwd_impl(x, q, s):
+    def fwd_chunk(xc):
+        sx = jnp.maximum(jnp.max(jnp.abs(xc), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
+        xq = jnp.round(xc.astype(jnp.float32) / sx).astype(jnp.int8)
+        yi = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        return (yi.astype(jnp.float32) * sx * s).astype(xc.dtype)
+
+    return _row_chunked(fwd_chunk, x, max(q.shape))
+
+
+def qmm(x2d: jax.Array, qa_q: jax.Array, qa_s: jax.Array) -> jax.Array:
+    return _make_qmm(_bwd_int8_enabled())(x2d, qa_q, qa_s)
+
+
+def apply_quant_einsum(qa: QuantArray, eqn: str, x: jax.Array) -> jax.Array:
+    """Quantized counterpart of ``jnp.einsum(eqn, x, w)`` for 2-operand equations."""
+    if eqn != qa.eqn:
+        raise ValueError(f"QuantArray was built for eqn {qa.eqn!r}, applied with {eqn!r}")
+    lhs, rhs, out, contracted, w_other = _parse(eqn)
+    batch_labels = lhs[: len(lhs) - len(contracted)]
+    batch_shape = x.shape[: len(batch_labels)]
+    x2 = x.reshape(int(np.prod(batch_shape)), -1)
+    y2 = qmm(x2, qa.q, qa.s)
+    n_labels = batch_labels + w_other
+    other_shape = [qa.orig_shape[rhs.index(l)] for l in w_other]
+    y = y2.reshape(*batch_shape, *other_shape)
+    if n_labels != out:
+        y = jnp.transpose(y, [n_labels.index(l) for l in out])
+    return y
+
+
+def apply_quant_split(qa: QuantArray, x: jax.Array) -> tuple[jax.Array, ...]:
+    """Apply a stacked-weight QuantArray (w_other led by a numeric label, e.g.
+    ``BTD,2DF->2BTF``) as per-slice rank-2 matmuls, returning the slices separately.
+
+    ``apply_quant_einsum`` on these equations materializes the full stacked output
+    in (batch, n, ...) order and then transposes it to the einsum output order —
+    at the FFN gate+up site that is a [B,T,2,F] copy plus a [B*T, 2F] int32
+    accumulator (~2.4 GB at batch 12), which OOMs a 16 GB v5e chip that runs fine
+    in bf16. Column-slicing the int8 weight instead keeps every temporary at the
+    single-projection size and skips the transpose entirely.
+    """
+    lhs, rhs, _, contracted, w_other = _parse(qa.eqn)
+    n = int(w_other[0])
+    batch_labels = lhs[: len(lhs) - len(contracted)]
+    batch_shape = x.shape[: len(batch_labels)]
+    x2 = x.reshape(int(np.prod(batch_shape)), -1)
+    rest_shape = [qa.orig_shape[rhs.index(l)] for l in w_other[1:]]
+    cols = int(np.prod(rest_shape))
+    # One full-width dot, then column slices: the stacked axis is outermost in the
+    # quantized column layout, so slice i is a contiguous column block. (Per-slice
+    # dots on sliced weights compile poorly and exhaust TPU memory in-model.)
+    y2 = qmm(x2, qa.q, qa.s)
+    return tuple(y2[:, i * cols : (i + 1) * cols].reshape(*batch_shape, *rest_shape) for i in range(n))
+
+
+# --------------------------------------------------------------------------------------
+# Tree-level transform: quantize the frozen matmul weights of a params tree
+# --------------------------------------------------------------------------------------
+
+# path-suffix regex -> einsum eqn used at the call site (gemma.py / lora.py apply paths).
+# All live under params["layers"] with a leading scan depth axis (stacked=True).
+_GEMMA_QUANT_SITES: tuple[tuple[re.Pattern, str], ...] = (
+    (re.compile(r"attn/qkv_einsum(_\d+)?/w$"), "BSD,3KDH->3BSKH"),
+    (re.compile(r"attn/q_einsum(_\d+)?/w$"), "BTD,NDH->BTNH"),
+    (re.compile(r"attn/kv_einsum(_\d+)?/w$"), "BSD,2KDH->2BSKH"),
+    (re.compile(r"attn/attn_vec_einsum(_\d+)?/w$"), "BTNH,NHD->BTD"),
+    (re.compile(r"mlp(_\d+)?/gating_einsum$"), "BTD,2DF->2BTF"),
+    (re.compile(r"mlp(_\d+)?/linear$"), "BTF,FD->BTD"),
+)
+
+
+def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str], ...]:
+    """Quant sites filtered by KAI0_INT8_SITES (comma-separated substrings of the
+    site patterns; a leading ``-`` excludes, e.g. ``-gating`` keeps the FFN gate/up
+    projections in bf16; ``all`` — the default — selects everything)."""
+    spec = os.environ.get("KAI0_INT8_SITES", default_spec)
+    if not spec or spec == "all":
+        return _GEMMA_QUANT_SITES
+    keys = spec.split(",")
+    neg = [k[1:] for k in keys if k.startswith("-")]
+    pos = [k for k in keys if not k.startswith("-")]
+    return tuple(
+        (p, e)
+        for (p, e) in _GEMMA_QUANT_SITES
+        if (not pos or any(k in p.pattern for k in pos)) and not any(k in p.pattern for k in neg)
+    )
+
+
+def quantize_frozen_tree(params: dict, trainable_mask: dict) -> dict:
+    """Replace frozen gemma matmul weights with ``QuantArray`` leaves.
+
+    Only leaves whose mask entry is False and whose path matches a known matmul call
+    site are converted; everything else (norms, embedder, LoRA factors, any trainable
+    tower such as SigLIP) is untouched.
+    """
+    from kai0_tpu.transforms import flatten_dict, unflatten_dict
+
+    flat = flatten_dict(params)
+    flat_mask = flatten_dict(trainable_mask)
+    sites = _active_sites()
+    out = {}
+    for key, value in flat.items():
+        if not flat_mask.get(key, True) and hasattr(value, "ndim"):
+            for pattern, eqn in sites:
+                if pattern.search(key):
+                    out[key] = quantize_einsum_weight(value, eqn, stacked=True)
+                    break
+            else:
+                out[key] = value
+        else:
+            out[key] = value
+    return unflatten_dict(out)
+
+
+def quantize_inference_tree(params: dict) -> dict:
+    """Quantize every gemma matmul site for inference (whole model frozen).
+
+    Serving at batch 1 is HBM-bandwidth-bound: the int8 weights halve the bytes
+    streamed per matmul, which is the dominant cost of the 968-token prefix pass
+    and the 10-step denoise loop. Opt-in (``serve_policy.py --int8``) because it
+    perturbs actions beyond the 1e-3 bf16 parity tolerance.
+    """
+    all_frozen = jax.tree.map(lambda _: False, params)
+    return quantize_frozen_tree(params, all_frozen)
+
+
+def dequantize_tree(params: dict) -> dict:
+    """Inverse of ``quantize_frozen_tree`` — restores the openpi params layout."""
+    return jax.tree.map(lambda x: dequantize(x) if is_quant(x) else x, params, is_leaf=is_quant)
+
+
+def has_quant(tree) -> bool:
+    return any(is_quant(x) for x in jax.tree.leaves(tree, is_leaf=is_quant))

@@ -34,12 +34,19 @@ def create_trained_policy(
     default_prompt: str | None = None,
     norm_stats: dict | None = None,
     warmup: bool = False,
+    quantize: bool = False,
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
 
     logger.info(f"Loading model from {checkpoint_dir}...")
     params = _checkpoints.restore_params(checkpoint_dir / "params", dtype=jnp.bfloat16)
+    if quantize:
+        # Int8 gemma matmul weights: ~2x less HBM traffic on the bandwidth-bound
+        # serving path (kai0_tpu/ops/quant.py). Changes action numerics slightly.
+        from kai0_tpu.ops import quant as _quant
+
+        params = _quant.quantize_inference_tree(params)
 
     data_config = train_config.data.create(train_config.assets_dirs, train_config.model)
     if norm_stats is None and data_config.asset_id is not None:

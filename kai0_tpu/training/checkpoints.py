@@ -91,6 +91,15 @@ def save_state(
             _normalize.save(pathlib.Path(directory) / asset_id, norm_stats)
 
     train_state, params = _split_params(state)
+    # Int8-quantized frozen leaves are saved dequantized so the on-disk params keep
+    # the openpi checkpoint layout (restored checkpoints requantize on resume;
+    # quantization is idempotent — see ops/quant.py).
+    from kai0_tpu.ops import quant as _quant
+
+    if _quant.has_quant(params):
+        params = jax.jit(_quant.dequantize_tree)(params)
+    if _quant.has_quant(train_state.params):
+        train_state = dataclasses.replace(train_state, params=jax.jit(_quant.dequantize_tree)(train_state.params))
     checkpoint_manager.save(
         step,
         args=ocp.args.Composite(

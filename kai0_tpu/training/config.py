@@ -16,6 +16,7 @@ import abc
 from collections.abc import Sequence
 import dataclasses
 import logging
+import os
 import pathlib
 from typing import Any, Protocol
 
@@ -242,6 +243,15 @@ class TrainConfig:
 
     # Metadata passed to the policy server.
     policy_metadata: dict[str, Any] | None = None
+
+    # Quantize frozen base weights to int8 (LoRA fine-tunes only; no-op when nothing
+    # is frozen). TPU-native addition: the v5e MXU runs int8 matmuls at 2x bf16 peak
+    # and the frozen base never updates, so it is quantized once at init
+    # (kai0_tpu/ops/quant.py). Default off — bf16 numerics match the reference.
+    # The default is read from KAI0_INT8 at construction; an explicit value wins.
+    quantize_frozen: bool = dataclasses.field(
+        default_factory=lambda: os.environ.get("KAI0_INT8", "0") not in ("0", "false", "")
+    )
 
     # FSDP sharding degree; >1 shards params across this many devices.
     fsdp_devices: int = 1

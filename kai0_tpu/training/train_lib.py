@@ -23,6 +23,7 @@ import numpy as np
 import optax
 
 from kai0_tpu.models import model as _model
+from kai0_tpu.ops import quant as _quant
 from kai0_tpu.parallel import sharding
 from kai0_tpu.training import checkpoints as _checkpoints
 from kai0_tpu.training import config as _config
@@ -70,6 +71,9 @@ def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: boo
             params = jax.tree.map(
                 lambda p, t: p if t else p.astype(jnp.bfloat16), params, trainable_mask
             )
+            if config.quantize_frozen:
+                # Int8 frozen base: quantized once here, never updated (ops/quant.py).
+                params = _quant.quantize_frozen_tree(params, trainable_mask)
         trainable, _ = training_utils.split_by_mask(params, trainable_mask)
         return training_utils.TrainState(
             step=jnp.asarray(0, dtype=jnp.int32),
@@ -124,9 +128,13 @@ def train_step(config, tx, trainable_mask, rng, state: training_utils.TrainState
         new_state = dataclasses.replace(
             new_state,
             ema_params=jax.tree.map(
-                lambda old, new: config.ema_decay * old + (1 - config.ema_decay) * new,
+                # Quantized (frozen) leaves never change — EMA passes them through.
+                lambda old, new: old
+                if _quant.is_quant(old)
+                else config.ema_decay * old + (1 - config.ema_decay) * new,
                 state.ema_params,
                 new_params,
+                is_leaf=_quant.is_quant,
             ),
         )
 
@@ -190,7 +198,24 @@ def main(config: _config.TrainConfig):
     jax.block_until_ready(train_state if not resuming else ())
 
     if resuming:
-        train_state = _checkpoints.restore_state(checkpoint_manager, train_state)
+        if config.quantize_frozen:
+            # Checkpoints store the dequantized (openpi-layout) params: restore into
+            # the plain-structure template, then requantize (idempotent).
+            plain_shape, _, _, _ = init_train_state(
+                dataclasses.replace(config, quantize_frozen=False), init_rng, mesh, resume=True
+            )
+            restored = _checkpoints.restore_state(checkpoint_manager, plain_shape)
+            requant = jax.jit(lambda p: _quant.quantize_frozen_tree(p, trainable_mask))
+            train_state = dataclasses.replace(
+                restored,
+                params=requant(restored.params),
+                ema_params=None if restored.ema_params is None else requant(restored.ema_params),
+            )
+            # The dequantized checkpoint carries its own (plain-layout) shardings;
+            # re-place everything on the quantized state sharding for the jit step.
+            train_state = jax.device_put(train_state, train_state_sharding)
+        else:
+            train_state = _checkpoints.restore_state(checkpoint_manager, train_state)
 
     ptrain_step = jax.jit(
         functools.partial(train_step, config, tx, trainable_mask),

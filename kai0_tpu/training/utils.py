@@ -26,9 +26,14 @@ class TrainState:
 
 def split_by_mask(params: dict, trainable_mask: dict) -> tuple[dict, dict]:
     """Split a params tree into (trainable, frozen) trees with identical structure,
-    using None placeholders — so gradients are only computed for trainable leaves."""
-    trainable = jax.tree.map(lambda p, t: p if t else None, params, trainable_mask)
-    frozen = jax.tree.map(lambda p, t: None if t else p, params, trainable_mask)
+    using None placeholders — so gradients are only computed for trainable leaves.
+
+    Quantized frozen leaves (``QuantArray``) are treated as leaves so the boolean
+    mask — built from the pre-quantization structure — still lines up."""
+    from kai0_tpu.ops import quant as _quant
+
+    trainable = jax.tree.map(lambda p, t: p if t else None, params, trainable_mask, is_leaf=_quant.is_quant)
+    frozen = jax.tree.map(lambda p, t: None if t else p, params, trainable_mask, is_leaf=_quant.is_quant)
     return trainable, frozen
 
 

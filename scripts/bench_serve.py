@@ -1,0 +1,78 @@
+"""Device-side serving latency bench: full π₀.₅ ``sample_actions`` per action chunk.
+
+Measures the device hot loop (prefix pass + 10-step Euler denoise with KV cache)
+with N chunks fused into one program via ``lax.fori_loop`` — per-dispatch RPC over
+a remote TPU tunnel (~1 s) would otherwise dominate (see PERF.md). Compare bf16 vs
+int8 weights (``--int8``, kai0_tpu/ops/quant.py): serving at batch 1 is
+HBM-bandwidth-bound, so halving weight bytes is the main lever.
+
+Usage: python scripts/bench_serve.py [--int8] [--batch 1] [--chunks 20]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--int8", action="store_true")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--chunks", type=int, default=20)
+    ap.add_argument("--num_steps", type=int, default=10)
+    args = ap.parse_args()
+
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.ops import quant
+
+    config = _pi0.Pi0Config(pi05=True)
+
+    @jax.jit
+    def make_params(rng):
+        # Init + cast (+ quantize) inside ONE jit: eager init would keep the full
+        # ~13 GB f32 tree resident; in-program, each f32 leaf dies at its cast.
+        p = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            config.init_params(rng),
+        )
+        return quant.quantize_inference_tree(p) if args.int8 else p
+
+    params = make_params(jax.random.key(0))
+    jax.block_until_ready(params)
+    obs = config.fake_obs(args.batch)
+
+    def one(params, obs, rng):
+        actions = config.sample_actions(params, rng, obs, num_steps=args.num_steps)
+        return jax.random.fold_in(rng, 0), actions
+
+    @jax.jit
+    def many(params, obs, rng):
+        # params/obs are jit ARGS: closing over them would embed multi-GB arrays
+        # as MLIR constants (device->host fetch + compile blow-up).
+        def body(i, carry):
+            rng, _ = carry
+            return one(params, obs, rng)
+
+        _, actions = jax.lax.fori_loop(0, args.chunks, body, one(params, obs, rng))
+        return actions
+
+    t0 = time.time()
+    a = many(params, obs, jax.random.key(1))
+    _ = float(jnp.sum(a.astype(jnp.float32)))
+    print(f"compile+run {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    a = many(params, obs, jax.random.key(2))
+    _ = float(jnp.sum(a.astype(jnp.float32)))
+    dt = (time.time() - t0) / args.chunks
+    mode = "int8" if args.int8 else "bf16"
+    print(f"sample_actions[{mode}] batch={args.batch}: {dt * 1000:.1f} ms/chunk")
+
+
+if __name__ == "__main__":
+    main()

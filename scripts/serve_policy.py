@@ -57,6 +57,9 @@ def parse_args(argv=None):
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--record", action="store_true")
     parser.add_argument("--warmup", action="store_true", help="pre-compile before listening")
+    parser.add_argument(
+        "--int8", action="store_true", help="int8 gemma weights (~2x less HBM traffic; slight action drift)"
+    )
     parser.add_argument("--policy.config", dest="policy_config", default=None)
     parser.add_argument("--policy.dir", dest="policy_dir", default=None)
     return parser.parse_args(argv)
@@ -72,6 +75,7 @@ def create_policy(args) -> _policy.Policy:
         checkpoint.dir,
         default_prompt=args.default_prompt,
         warmup=args.warmup,
+        quantize=args.int8,
     )
 
 

@@ -1,0 +1,255 @@
+"""Int8 frozen-base quantization (kai0_tpu/ops/quant.py).
+
+The reference has no quantization path (its LoRA keeps the frozen base in bf16,
+src/openpi/models/lora.py); this is a TPU-native addition, so the spec here is
+numerical: per-matmul int8 error bounds, gradient agreement with the bf16 path, and
+checkpoint-layout invariance (save -> resume must round-trip losslessly).
+"""
+
+import dataclasses
+import pathlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from kai0_tpu.ops import quant
+
+EQN_CASES = [
+    ("BSD,3KDH->3BSKH", (2, 7, 32), (3, 4, 32, 8)),
+    ("BTD,NDH->BTNH", (2, 7, 32), (4, 32, 8)),
+    ("BSD,2KDH->2BSKH", (2, 7, 32), (2, 4, 32, 8)),
+    ("BTNH,NHD->BTD", (2, 7, 4, 8), (4, 8, 32)),
+    ("BTD,2DF->2BTF", (2, 7, 32), (2, 32, 64)),
+    ("BTF,FD->BTD", (2, 7, 64), (64, 32)),
+]
+
+
+def _einsum_ref(eqn, x, w):
+    # digits are valid labels for our layout parser but not for jnp.einsum
+    trans = str.maketrans({"3": "x", "2": "y"})
+    return jnp.einsum(eqn.translate(trans), x, w.astype(x.dtype))
+
+
+@pytest.mark.parametrize("eqn,x_shape,w_shape", EQN_CASES)
+def test_apply_quant_einsum_matches_bf16(eqn, x_shape, w_shape):
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    qa = quant.quantize_einsum_weight(w, eqn)
+    ref = _einsum_ref(eqn, x, w)
+    got = quant.apply_quant_einsum(qa, eqn, x)
+    assert got.shape == ref.shape
+    assert got.dtype == ref.dtype
+    rel = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))) / jnp.max(
+        jnp.abs(ref.astype(jnp.float32))
+    )
+    assert float(rel) < 0.03
+
+
+@pytest.mark.parametrize(
+    "eqn,x_shape,w_shape",
+    [case for case in EQN_CASES if case[0].split(",")[1][0].isdigit()],
+)
+def test_apply_quant_split_matches_einsum(eqn, x_shape, w_shape):
+    key = jax.random.key(7)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    qa = quant.quantize_einsum_weight(w, eqn)
+    fused = quant.apply_quant_einsum(qa, eqn, x)
+    parts = quant.apply_quant_split(qa, x)
+    assert len(parts) == w_shape[0]
+    for i, part in enumerate(parts):
+        np.testing.assert_array_equal(np.asarray(part), np.asarray(fused[i]))
+
+
+@pytest.mark.parametrize("eqn,x_shape,w_shape", EQN_CASES)
+def test_dequantize_roundtrip_and_idempotence(eqn, x_shape, w_shape):
+    w = jax.random.normal(jax.random.key(3), w_shape, jnp.bfloat16)
+    qa = quant.quantize_einsum_weight(w, eqn)
+    wd = quant.dequantize(qa)
+    assert wd.shape == w.shape
+    assert wd.dtype == w.dtype
+    # int8 per-channel error bound: amax/127 per output channel <= global amax/127
+    err = jnp.max(jnp.abs(wd.astype(jnp.float32) - w.astype(jnp.float32)))
+    bound = jnp.max(jnp.abs(w.astype(jnp.float32))) / 127.0
+    assert float(err) <= float(bound) * 1.01
+    # quantize(dequantize(.)) is exact: the max-magnitude element pins the scale
+    qa2 = quant.quantize_einsum_weight(wd, eqn)
+    np.testing.assert_array_equal(np.asarray(qa2.q), np.asarray(qa.q))
+    np.testing.assert_allclose(np.asarray(qa2.s), np.asarray(qa.s), rtol=1e-6)
+
+
+def test_stacked_quantize_dequantize():
+    w = jax.random.normal(jax.random.key(4), (3, 3, 4, 32, 8), jnp.bfloat16)
+    qa = quant.quantize_einsum_weight(w, "BSD,3KDH->3BSKH", stacked=True)
+    assert qa.q.shape == (3, 32, 96)
+    assert qa.s.shape == (3, 96)
+    wd = quant.dequantize(qa)
+    assert wd.shape == w.shape
+    # per-layer scan slicing yields unstacked QuantArrays
+    def body(carry, layer_qa):
+        y = quant.apply_quant_einsum(layer_qa, "BSD,3KDH->3BSKH", carry)
+        return carry, y
+    x = jax.random.normal(jax.random.key(5), (2, 7, 32), jnp.bfloat16)
+    _, ys = jax.lax.scan(body, x, qa)
+    assert ys.shape == (3, 3, 2, 7, 4, 8)
+
+
+def test_qmm_gradient_matches_bf16():
+    key = jax.random.key(6)
+    x = jax.random.normal(key, (64, 128), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(7), (128, 256), jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BTF,FD->BTD")
+
+    def loss_q(x):
+        y = quant.qmm(x, qa.q, qa.s)
+        return jnp.sum(y.astype(jnp.float32) ** 2)
+
+    def loss_ref(x):
+        return jnp.sum(jnp.dot(x, w.astype(x.dtype)).astype(jnp.float32) ** 2)
+
+    gq = jax.grad(loss_q)(x).astype(jnp.float32)
+    gr = jax.grad(loss_ref)(x).astype(jnp.float32)
+    cos = jnp.sum(gq * gr) / (jnp.linalg.norm(gq) * jnp.linalg.norm(gr))
+    assert float(cos) > 0.999
+
+
+def test_qmm_row_chunking_matches_unchunked(monkeypatch):
+    """Forcing a tiny chunk budget must not change fwd or bwd results at all —
+    chunking only serializes the rows (the 16 GB-chip OOM fix for the FFN sites)."""
+    x = jax.random.normal(jax.random.key(8), (12, 32), jnp.bfloat16)
+    w = jax.random.normal(jax.random.key(9), (32, 64), jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BTF,FD->BTD")
+
+    def run():
+        def loss(x):
+            y = quant.qmm(x, qa.q, qa.s)
+            return jnp.sum(y.astype(jnp.float32) ** 2), y
+
+        (_, y), g = jax.value_and_grad(loss, has_aux=True)(x)
+        return np.asarray(y), np.asarray(g.astype(jnp.float32))
+
+    y_ref, g_ref = run()
+    monkeypatch.setattr(quant, "_CHUNK_BYTES", 64 * 4)  # [m/c, width] caps at one row
+    assert quant._row_chunks(12, 64) > 1
+    y_chunked, g_chunked = run()
+    np.testing.assert_array_equal(y_chunked, y_ref)
+    np.testing.assert_array_equal(g_chunked, g_ref)
+
+
+def test_quantized_inference_sampling_close_to_bf16():
+    """Serve-path int8 (quantize_inference_tree): sample_actions stays close to the
+    bf16 actions — weight-only inference quantization, opt-in via --int8."""
+    from kai0_tpu.models import pi0 as _pi0
+
+    config = _pi0.Pi0Config(
+        pi05=True, paligemma_variant="dummy", action_expert_variant="dummy", vision_variant="mu/14"
+    )
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        config.init_params(jax.random.key(0)),
+    )
+    obs = config.fake_obs(1)
+    rng = jax.random.key(1)
+    ref = config.sample_actions(params, rng, obs, num_steps=2)
+    qparams = quant.quantize_inference_tree(params)
+    assert quant.has_quant(qparams)
+    got = config.sample_actions(qparams, rng, obs, num_steps=2)
+    assert got.shape == ref.shape
+    r = np.asarray(ref, np.float32).ravel()
+    g = np.asarray(got, np.float32).ravel()
+    cos = np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-9)
+    assert np.isfinite(g).all()
+    assert cos > 0.99
+
+
+def _lora_debug_config(tmp_path, **overrides):
+    from kai0_tpu.training import config as _config
+
+    base = _config.get_config("debug")
+    model = dataclasses.replace(
+        base.model,
+        paligemma_variant="dummy_lora",
+        action_expert_variant="dummy_lora",
+        dtype="bfloat16",
+    )
+    return dataclasses.replace(
+        base,
+        model=model,
+        exp_name="quant_test",
+        checkpoint_base_dir=str(tmp_path),
+        **overrides,
+    )
+
+
+def test_quantized_train_loss_tracks_bf16(tmp_path):
+    """First-step loss with the int8 base stays within a few percent of bf16."""
+    from kai0_tpu.models import model as _model
+    from kai0_tpu.parallel import sharding
+    from kai0_tpu.training import train_lib
+
+    losses = {}
+    for quantize in (False, True):
+        cfg = _lora_debug_config(tmp_path / f"q{quantize}", quantize_frozen=quantize)
+        mesh = sharding.make_mesh(1)
+        rng = jax.random.key(0)
+        state, _, tx, mask = train_lib.init_train_state(cfg, rng, mesh, resume=False)
+        obs = cfg.model.fake_obs(cfg.batch_size)
+        actions = cfg.model.fake_act(cfg.batch_size)
+        _, info = jax.jit(
+            lambda s, b: train_lib.train_step(cfg, tx, mask, jax.random.key(1), s, b)
+        )(state, (obs, actions))
+        losses[quantize] = float(info["loss"])
+    assert np.isfinite(losses[True])
+    assert abs(losses[True] - losses[False]) / abs(losses[False]) < 0.05, losses
+
+
+def test_quantized_train_save_resume(tmp_path):
+    """Full loop: train int8 -> checkpoint is dequantized (openpi layout) -> resume."""
+    from kai0_tpu.training import checkpoints as _checkpoints
+    from kai0_tpu.training import train_lib
+
+    cfg = _lora_debug_config(
+        tmp_path,
+        quantize_frozen=True,
+        num_train_steps=3,
+        batch_size=8,
+        fsdp_devices=2,
+        # force FSDP-sharding of the (small, test-size) int8 leaves too
+        fsdp_min_size_mbytes=0,
+    )
+    state = train_lib.main(cfg)
+    assert quant.has_quant(state.params)
+
+    # the saved params item must have the plain (dequantized) layout
+    step_dir = cfg.checkpoint_dir / "2" / "params"
+    params = _checkpoints.restore_params(step_dir, restore_type=np.ndarray)
+    assert not quant.has_quant(params)
+    flat_keys = list(params.keys())
+    assert "PaliGemma" in flat_keys or len(flat_keys) > 0
+
+    resumed = train_lib.main(dataclasses.replace(cfg, resume=True, num_train_steps=4))
+    assert int(resumed.step) == 4
+    assert quant.has_quant(resumed.params)
+
+
+def test_quantize_frozen_tree_skips_trainable_and_small():
+    """Only frozen matmul-site leaves are converted; LoRA factors/norms untouched."""
+    from kai0_tpu.training import config as _config
+
+    cfg = _lora_debug_config(pathlib.Path("/tmp"), quantize_frozen=True)
+    params_shape = jax.eval_shape(cfg.model.init_params, jax.random.key(0))
+    mask = cfg.trainable_mask(params_shape)
+    params = cfg.model.init_params(jax.random.key(0))
+    qparams = quant.quantize_frozen_tree(params, mask)
+    from kai0_tpu.transforms import flatten_dict
+
+    flat = flatten_dict(qparams)
+    quant_keys = [k for k, v in flat.items() if quant.is_quant(v)]
+    assert any("qkv_einsum" in k or "q_einsum" in k for k in quant_keys)
+    assert any("gating_einsum" in k for k in quant_keys)
+    assert not any("lora" in k for k in quant_keys)
+    assert not any("norm" in k for k in quant_keys)
+    assert not any(k.startswith("img/") or "/img/" in k for k in quant_keys)
