@@ -120,7 +120,9 @@ def main():
         # Int8 frozen base is the documented fast path for single-chip LoRA
         # fine-tunes (kai0_tpu/ops/quant.py; +11% measured, PERF.md). KAI0_BENCH_INT8=0
         # benches the bf16 reference-parity configuration instead.
-        quantize = os.environ.get("KAI0_BENCH_INT8", "1") not in ("0", "false")
+        from kai0_tpu.ops import quant as _quant
+
+        quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,

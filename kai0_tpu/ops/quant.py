@@ -25,8 +25,11 @@ Design notes:
   the einsum equation of their call site, so every apply is one rank-2 int8 matmul
   (one MXU dot; no gather/transpose in the hot loop).
 - Checkpoints keep the openpi params contract: ``dequantize_tree`` restores the
-  original shape/dtype on save; quantization is idempotent (the max-magnitude
-  element always rounds to +-127), so save -> resume -> requantize is lossless.
+  original shape/dtype on save. Requantization on resume is near-idempotent: the
+  max-magnitude element rounds back to +-127, so the rescale is stable, but the
+  bf16 cast of q*s can flip individual requantized values by at most one int8
+  step (~0.8% of the per-channel max) — negligible against the quantization
+  error itself, and exact on the tensors covered by tests/test_quant.py.
 """
 
 from __future__ import annotations
@@ -65,6 +68,25 @@ class QuantArray:
 
 def is_quant(x) -> bool:
     return isinstance(x, QuantArray)
+
+
+def env_flag(name: str, default: str = "0") -> bool:
+    """Shared boolean env parsing for the KAI0_INT8* family ('0'/'false'/'False'/
+    'off'/'no'/'' are false — shell idioms like KAI0_INT8=False must not enable)."""
+    return os.environ.get(name, default).lower() not in ("0", "false", "off", "no", "")
+
+
+def sq_norm(qa: QuantArray) -> jax.Array:
+    """Squared Frobenius norm of the represented weight, without dequantizing:
+    ||W||^2 = sum_j s_j^2 * sum_i q_ij^2 (per layer when stacked)."""
+
+    def one(q, s):
+        qsq = jnp.sum(q.astype(jnp.int32) * q.astype(jnp.int32), axis=0)  # [N], K*127^2 < 2^31
+        return jnp.sum(qsq.astype(jnp.float32) * s * s)
+
+    if qa.q.ndim == 3:
+        return jnp.sum(jax.lax.map(lambda qs: one(*qs), (qa.q, qa.s)))
+    return one(qa.q, qa.s)
 
 
 def _parse(eqn: str) -> tuple[str, str, str, str, str]:
@@ -106,8 +128,8 @@ def quantize_einsum_weight(w: jax.Array, eqn: str, *, stacked: bool = False) -> 
 
 def dequantize(qa: QuantArray) -> jax.Array:
     """Reconstruct the weight in its original shape/dtype (openpi checkpoint layout)."""
-    if qa.q.ndim == 3:  # stacked over depth
-        return jax.vmap(lambda q, s: _dequantize_2d(q, s, qa.eqn, qa.orig_shape, qa.orig_dtype))(qa.q, qa.s)
+    if qa.q.ndim == 3:  # stacked over depth: lax.map bounds the f32 transient per layer
+        return jax.lax.map(lambda qs: _dequantize_2d(*qs, qa.eqn, qa.orig_shape, qa.orig_dtype), (qa.q, qa.s))
     return _dequantize_2d(qa.q, qa.s, qa.eqn, qa.orig_shape, qa.orig_dtype)
 
 
@@ -121,7 +143,7 @@ def _dequantize_2d(q, s, eqn, orig_shape, orig_dtype):
 
 
 def _bwd_int8_enabled() -> bool:
-    return os.environ.get("KAI0_INT8_BWD", "1") not in ("0", "false")
+    return env_flag("KAI0_INT8_BWD", "1")
 
 
 # TPU dots don't fuse their epilogue: the int32 accumulator and the f32 scaling

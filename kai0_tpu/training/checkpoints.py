@@ -93,7 +93,7 @@ def save_state(
     train_state, params = _split_params(state)
     # Int8-quantized frozen leaves are saved dequantized so the on-disk params keep
     # the openpi checkpoint layout (restored checkpoints requantize on resume;
-    # quantization is idempotent — see ops/quant.py).
+    # near-idempotent, at most one int8 step per element — see ops/quant.py).
     from kai0_tpu.ops import quant as _quant
 
     if _quant.has_quant(params):

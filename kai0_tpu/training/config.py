@@ -24,6 +24,7 @@ from kai0_tpu import transforms as _transforms
 from kai0_tpu.models import model as _model
 from kai0_tpu.models import pi0 as pi0_config
 from kai0_tpu.models import tokenizer as _tokenizer
+from kai0_tpu.ops import quant as _quant
 from kai0_tpu.shared import download as _download
 from kai0_tpu.shared import normalize as _normalize
 from kai0_tpu.training import cli as _cli
@@ -249,9 +250,7 @@ class TrainConfig:
     # and the frozen base never updates, so it is quantized once at init
     # (kai0_tpu/ops/quant.py). Default off — bf16 numerics match the reference.
     # The default is read from KAI0_INT8 at construction; an explicit value wins.
-    quantize_frozen: bool = dataclasses.field(
-        default_factory=lambda: os.environ.get("KAI0_INT8", "0") not in ("0", "false", "")
-    )
+    quantize_frozen: bool = dataclasses.field(default_factory=lambda: _quant.env_flag("KAI0_INT8"))
 
     # FSDP sharding degree; >1 shards params across this many devices.
     fsdp_devices: int = 1
@@ -325,6 +324,29 @@ def _configs() -> list[TrainConfig]:
             log_interval=1,
             num_workers=0,
             wandb_enabled=False,
+        ),
+        # LoRA-mode debug config: dummy-size experts with LoRA + frozen bf16 base,
+        # so the freeze-filter/quantize paths (KAI0_INT8=1) run in seconds on CPU
+        # or one chip — incl. the dequantized checkpoint save and requantizing
+        # resume (tests/test_quant.py uses the same shape of config).
+        TrainConfig(
+            name="debug_lora",
+            model=dataclasses.replace(
+                debug_model,
+                pi05=True,
+                paligemma_variant="dummy_lora",
+                action_expert_variant="dummy_lora",
+                dtype="bfloat16",
+            ),
+            data=FakeDataConfig(),
+            batch_size=2,
+            num_train_steps=4,
+            save_interval=2,
+            keep_period=2,
+            log_interval=1,
+            num_workers=0,
+            wandb_enabled=False,
+            ema_decay=None,
         ),
         # Serving smoke config: debug-size model with the full production transform
         # chain (robot inputs → tokenize/resize/pad), so the serve path is

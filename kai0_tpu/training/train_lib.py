@@ -152,12 +152,16 @@ def param_norm(params: dict) -> jax.Array:
     in the logging path at ``log_interval`` rather than inside every train step (the
     reference recomputes it per step; pure overhead in the hot loop).
     """
+    flat = flatten_dict(params)
     kernel_params = [
         v
-        for k, v in flatten_dict(params).items()
+        for k, v in flat.items()
         if hasattr(v, "ndim") and v.ndim > 1 and k.split("/")[-1] not in ("bias", "scale", "pos_embedding", "input_embedding")
     ]
-    return optax.global_norm(kernel_params)
+    # Int8-quantized leaves contribute their represented-weight norm (computed from
+    # q/s without dequantizing) so the metric stays comparable with bf16 runs.
+    quant_sq = sum(_quant.sq_norm(v) for v in flat.values() if _quant.is_quant(v))
+    return jnp.sqrt(optax.global_norm(kernel_params) ** 2 + quant_sq)
 
 
 def main(config: _config.TrainConfig):
@@ -200,17 +204,25 @@ def main(config: _config.TrainConfig):
     if resuming:
         if config.quantize_frozen:
             # Checkpoints store the dequantized (openpi-layout) params: restore into
-            # the plain-structure template, then requantize (idempotent).
+            # the plain-structure template, then requantize (near-idempotent — at
+            # most one int8 step per element, see ops/quant.py).
             plain_shape, _, _, _ = init_train_state(
                 dataclasses.replace(config, quantize_frozen=False), init_rng, mesh, resume=True
             )
             restored = _checkpoints.restore_state(checkpoint_manager, plain_shape)
             requant = jax.jit(lambda p: _quant.quantize_frozen_tree(p, trainable_mask))
-            train_state = dataclasses.replace(
-                restored,
-                params=requant(restored.params),
-                ema_params=None if restored.ema_params is None else requant(restored.ema_params),
-            )
+            # Requantize one tree at a time, dropping the plain bf16 reference before
+            # the next, so peak HBM stays (state + one quantized copy), not (state +
+            # every copy at once) — matters on 16 GB chips with EMA enabled.
+            plain_params, restored = restored.params, dataclasses.replace(restored, params=None)
+            qparams = requant(plain_params)
+            del plain_params
+            qema = None
+            if restored.ema_params is not None:
+                plain_ema, restored = restored.ema_params, dataclasses.replace(restored, ema_params=None)
+                qema = requant(plain_ema)
+                del plain_ema
+            train_state = dataclasses.replace(restored, params=qparams, ema_params=qema)
             # The dequantized checkpoint carries its own (plain-layout) shardings;
             # re-place everything on the quantized state sharding for the jit step.
             train_state = jax.device_put(train_state, train_state_sharding)

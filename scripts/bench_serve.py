@@ -54,12 +54,13 @@ def main():
     @jax.jit
     def many(params, obs, rng):
         # params/obs are jit ARGS: closing over them would embed multi-GB arrays
-        # as MLIR constants (device->host fetch + compile blow-up).
+        # as MLIR constants (device->host fetch + compile blow-up). The init carry
+        # counts as chunk 1 of args.chunks (the loop runs chunks-1 more).
         def body(i, carry):
             rng, _ = carry
             return one(params, obs, rng)
 
-        _, actions = jax.lax.fori_loop(0, args.chunks, body, one(params, obs, rng))
+        _, actions = jax.lax.fori_loop(0, args.chunks - 1, body, one(params, obs, rng))
         return actions
 
     t0 = time.time()

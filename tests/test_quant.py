@@ -97,6 +97,25 @@ def test_stacked_quantize_dequantize():
     assert ys.shape == (3, 3, 2, 7, 4, 8)
 
 
+@pytest.mark.parametrize("stacked", [False, True])
+def test_sq_norm_matches_dequantized_norm(stacked):
+    shape = (3, 2, 16, 24) if stacked else (2, 16, 24)
+    w = jax.random.normal(jax.random.key(11), shape, jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BTD,2DF->2BTF", stacked=stacked)
+    got = float(jnp.sqrt(quant.sq_norm(qa)))
+    want = float(jnp.linalg.norm(quant.dequantize(qa).astype(jnp.float32)))
+    assert abs(got - want) / want < 1e-5
+
+
+def test_env_flag_shell_idioms(monkeypatch):
+    for v, expect in [("1", True), ("true", True), ("0", False), ("false", False),
+                      ("False", False), ("off", False), ("no", False), ("", False)]:
+        monkeypatch.setenv("KAI0_TEST_FLAG", v)
+        assert quant.env_flag("KAI0_TEST_FLAG") is expect, v
+    monkeypatch.delenv("KAI0_TEST_FLAG")
+    assert quant.env_flag("KAI0_TEST_FLAG", "1") is True
+
+
 def test_qmm_gradient_matches_bf16():
     key = jax.random.key(6)
     x = jax.random.normal(key, (64, 128), jnp.bfloat16)
