@@ -184,6 +184,29 @@ def test_quantized_inference_sampling_close_to_bf16():
     assert cos > 0.99
 
 
+def test_quantized_inference_pi0_fast_decodes():
+    """π₀-FAST shares the gemma apply paths/param naming, so --int8 covers its
+    autoregressive decode too (kv-cache prefill + while-loop decode)."""
+    from kai0_tpu.models import pi0_fast as _pi0_fast
+
+    config = _pi0_fast.Pi0FASTConfig(
+        paligemma_variant="dummy",
+        vision_variant="mu/14",
+        dtype="float32",
+        action_dim=4,
+        action_horizon=8,
+        max_token_len=48,
+    )
+    params = config.init_params(jax.random.key(0))
+    qparams = quant.quantize_inference_tree(params)
+    assert quant.has_quant(qparams)
+    obs = config.fake_obs(1)
+    tokens = config.sample_actions(qparams, jax.random.key(2), obs)
+    ref = config.sample_actions(params, jax.random.key(2), obs)
+    assert tokens.shape == ref.shape
+    assert np.isfinite(np.asarray(tokens, np.float32)).all()
+
+
 def _lora_debug_config(tmp_path, **overrides):
     from kai0_tpu.training import config as _config
 
