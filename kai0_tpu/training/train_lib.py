@@ -47,7 +47,7 @@ def _load_weights_and_validate(loader, params_shape: dict) -> dict:
     )
 
 
-def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: bool):
+def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: bool, log: bool = True):
     """Returns (train_state | shapes, state_sharding, tx, trainable_mask)."""
     tx = _optimizer.create_optimizer(config.optimizer, config.lr_schedule, weight_decay_mask=None)
 
@@ -84,7 +84,7 @@ def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: boo
 
     train_state_shape = jax.eval_shape(init, init_rng)
     state_sharding = sharding.fsdp_sharding(
-        train_state_shape, mesh, min_size_mbytes=config.fsdp_min_size_mbytes, log=True
+        train_state_shape, mesh, min_size_mbytes=config.fsdp_min_size_mbytes, log=log
     )
 
     if resume:
@@ -207,7 +207,9 @@ def main(config: _config.TrainConfig):
             # the plain-structure template, then requantize (near-idempotent — at
             # most one int8 step per element, see ops/quant.py).
             plain_shape, _, _, _ = init_train_state(
-                dataclasses.replace(config, quantize_frozen=False), init_rng, mesh, resume=True
+                # log=False: this is only a restore template — don't re-emit the
+                # per-parameter sharding log a second time at every resume.
+                dataclasses.replace(config, quantize_frozen=False), init_rng, mesh, resume=True, log=False
             )
             restored = _checkpoints.restore_state(checkpoint_manager, plain_shape)
             requant = jax.jit(lambda p: _quant.quantize_frozen_tree(p, trainable_mask))
