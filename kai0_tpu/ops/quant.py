@@ -146,6 +146,24 @@ def _bwd_int8_enabled() -> bool:
     return env_flag("KAI0_INT8_BWD", "1")
 
 
+def _pallas_enabled() -> bool:
+    """Fused Pallas int8 matmul (in-VMEM int32 accumulator + scaling epilogue).
+
+    Opt-in experiment (``KAI0_INT8_PALLAS=1``): measured *slightly slower* than the
+    row-chunked XLA path on every v5e train site (gate/up fwd 7.2 vs 6.8 ms — XLA
+    already tiles the quant-dot-scale chain at ~228 of 394 TOP/s, so there is no
+    fusion win to reclaim; see PERF.md). Kept for A/B on other shapes/generations.
+    """
+    return env_flag("KAI0_INT8_PALLAS", "0") and jax.default_backend() == "tpu"
+
+
+def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-row dynamic quantization: x ≈ xq * sx, sx f32 [rows, 1]."""
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
+    xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
+    return xq, sx
+
+
 # TPU dots don't fuse their epilogue: the int32 accumulator and the f32 scaling
 # copy are materialized in HBM. At batch 12 the FFN gate/up sites produce ~800 MB
 # int32 temporaries — enough to OOM a 16 GB chip that runs fine in bf16. Row-chunk
@@ -184,6 +202,14 @@ def _make_qmm(bwd_int8: bool):
     def bwd(res, dy):
         q, s = res
 
+        if bwd_int8 and _pallas_enabled():
+            from kai0_tpu.ops import pallas_quant
+
+            g = dy.astype(jnp.float32) * s
+            gq, sg = _row_quant(g)
+            dx = pallas_quant.int8_matmul(gq, q, sg, None, nt=True, out_dtype=dy.dtype)
+            return dx, np.zeros(q.shape, jax.dtypes.float0), np.zeros(s.shape, jax.dtypes.float0)
+
         def bwd_chunk(dyc):
             g = dyc.astype(jnp.float32) * s
             if bwd_int8:
@@ -211,6 +237,12 @@ def _row_chunked(f, x, width: int):
 
 
 def _qmm_fwd_impl(x, q, s):
+    if _pallas_enabled():
+        from kai0_tpu.ops import pallas_quant
+
+        xq, sx = _row_quant(x)
+        return pallas_quant.int8_matmul(xq, q, sx, s, out_dtype=x.dtype)
+
     def fwd_chunk(xc):
         sx = jnp.maximum(jnp.max(jnp.abs(xc), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
         xq = jnp.round(xc.astype(jnp.float32) / sx).astype(jnp.int8)

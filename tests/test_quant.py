@@ -295,3 +295,67 @@ def test_quantize_frozen_tree_skips_trainable_and_small():
     assert not any("lora" in k for k in quant_keys)
     assert not any("norm" in k for k in quant_keys)
     assert not any(k.startswith("img/") or "/img/" in k for k in quant_keys)
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas int8 matmul (kai0_tpu/ops/pallas_quant.py), interpret mode on CPU
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [
+        (300, 257, 130),  # exercises padding on every axis
+        (64, 128, 128),  # single block
+        (96, 2048, 512),  # multi-k-block accumulation
+    ],
+)
+def test_pallas_int8_matmul_matches_xla(m, k, n):
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kai0_tpu.ops import pallas_quant
+
+    rng = np.random.default_rng(0)
+    xq = jnp.array(rng.integers(-127, 128, (m, k)), jnp.int8)
+    w = jnp.array(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sx = jnp.array(rng.random((m, 1), dtype=np.float32) * 0.1)
+    sn = jnp.array(rng.random(n, dtype=np.float32) * 0.01)
+
+    ref = (
+        jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32).astype(jnp.float32)
+        * sx
+        * sn
+    )
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_quant.int8_matmul(xq, w, sx, sn, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(ref))
+
+    # NT variant (the backward contraction): contract the trailing axis of both.
+    gq = jnp.array(rng.integers(-127, 128, (m, n)), jnp.int8)
+    ref_t = (
+        jax.lax.dot_general(gq, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32).astype(jnp.float32)
+        * sx
+    )
+    with pltpu.force_tpu_interpret_mode():
+        yt = pallas_quant.int8_matmul(gq, w, sx, None, nt=True, out_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(yt), np.asarray(ref_t))
+
+
+def test_pallas_qmm_epilogue_matches_xla_qmm_bf16():
+    """The fused epilogue (acc*sx*sn in f32, then bf16 cast) must be bit-identical
+    to the XLA path's (yi*sx)*s ordering so KAI0_INT8_PALLAS does not change
+    training numerics."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kai0_tpu.ops import pallas_quant
+
+    rng = np.random.default_rng(1)
+    x = jnp.array(rng.standard_normal((96, 256)), jnp.bfloat16)
+    w = jnp.array(rng.standard_normal((256, 128)), jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BD,DF->BF")
+
+    xla = quant._qmm_fwd_impl(x, qa.q, qa.s)
+    xq, sx = quant._row_quant(x)
+    with pltpu.force_tpu_interpret_mode():
+        pal = pallas_quant.int8_matmul(xq, qa.q, sx, qa.s, out_dtype=x.dtype)
+    np.testing.assert_array_equal(np.asarray(xla), np.asarray(pal))
