@@ -313,6 +313,23 @@ def _configs() -> list[TrainConfig]:
             wandb_enabled=False,
             ema_decay=None,
         ),
+        # Restores the `debug` run's final checkpoint through the weight-loader path
+        # (reference config.py:1149-1158; their debug saves at step 9, ours at 3 —
+        # the last of num_train_steps=4 zero-indexed steps).
+        TrainConfig(
+            name="debug_restore",
+            model=debug_model,
+            data=FakeDataConfig(),
+            batch_size=2,
+            num_train_steps=4,
+            save_interval=2,
+            keep_period=2,
+            log_interval=1,
+            num_workers=0,
+            wandb_enabled=False,
+            ema_decay=None,
+            weight_loader=weight_loaders.CheckpointWeightLoader("./checkpoints/debug/debug/3/params"),
+        ),
         TrainConfig(
             name="debug_pi05",
             model=dataclasses.replace(debug_model, pi05=True),

@@ -470,6 +470,65 @@ def configs() -> list[_config.TrainConfig]:
             weight_loader=weight_loaders.CheckpointWeightLoader(pi05_ckpt),
             lr_schedule=_optimizer.CosineDecaySchedule(peak_lr=5e-5, decay_lr=5e-5 / 10),
         ),
+        # Full-DROID RLDS fine-tunes (reference config.py:1032-1096): tf.data RLDS
+        # loading for the full DROID dataset; num_workers=0 because tf.data does its
+        # own parallelism. rlds_data_dir is a placeholder the user overrides.
+        TrainConfig(
+            name="pi0_fast_full_droid_finetune",
+            model=pi0_fast_config.Pi0FASTConfig(action_dim=8, action_horizon=16, max_token_len=180),
+            data=RLDSDroidDataConfig(repo_id="droid", rlds_data_dir="<path_to_droid_rlds_dataset>"),
+            weight_loader=weight_loaders.CheckpointWeightLoader(
+                "gs://openpi-assets/checkpoints/pi0_fast_base/params"
+            ),
+            lr_schedule=_optimizer.CosineDecaySchedule(
+                warmup_steps=1_000, peak_lr=5e-5, decay_steps=1_000_000, decay_lr=5e-5
+            ),
+            num_train_steps=100_000,
+            batch_size=256,
+            log_interval=100,
+            save_interval=5000,
+            keep_period=20_000,
+            num_workers=0,
+        ),
+        TrainConfig(
+            name="pi05_full_droid_finetune",
+            model=pi0_config.Pi0Config(pi05=True, action_dim=32, action_horizon=16),
+            data=RLDSDroidDataConfig(
+                repo_id="droid",
+                rlds_data_dir="<path_to_droid_rlds_dataset>",
+                assets=_config.AssetsConfig(
+                    assets_dir="gs://openpi-assets/checkpoints/pi05_base/assets/", asset_id="droid"
+                ),
+            ),
+            weight_loader=weight_loaders.CheckpointWeightLoader(pi05_ckpt),
+            lr_schedule=_optimizer.CosineDecaySchedule(
+                warmup_steps=1_000, peak_lr=5e-5, decay_steps=1_000_000, decay_lr=5e-5
+            ),
+            num_train_steps=100_000,
+            batch_size=256,
+            log_interval=100,
+            save_interval=5000,
+            keep_period=10_000,
+            num_workers=0,
+        ),
+        # Custom (smaller) DROID fine-tune in LeRobot format, reusing the original
+        # DROID norm stats (reference config.py:1097-1121).
+        TrainConfig(
+            name="pi05_droid_finetune",
+            model=pi0_config.Pi0Config(pi05=True, action_dim=32, action_horizon=16),
+            data=LeRobotDROIDDataConfig(
+                repo_id="your_hf_username/my_droid_dataset",
+                base_config=_config.DataConfig(prompt_from_task=True),
+                assets=_config.AssetsConfig(
+                    assets_dir="gs://openpi-assets/checkpoints/pi05_droid/assets", asset_id="droid"
+                ),
+            ),
+            weight_loader=weight_loaders.CheckpointWeightLoader(
+                "gs://openpi-assets/checkpoints/pi05_droid/params"
+            ),
+            num_train_steps=20_000,
+            batch_size=32,
+        ),
         # ------------------------- Libero -------------------------
         TrainConfig(
             name="pi0_libero",

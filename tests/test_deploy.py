@@ -281,3 +281,51 @@ class TestNativeBufferParity:
         t_cons.join(timeout=10)
         assert popped  # no deadlock, actions flowed
         assert all(a.shape == (4,) for a in popped)
+
+
+# ---------------------------------------------------------------------------
+# Latency-compensated inference client driver loops (train_deploy_alignment)
+# ---------------------------------------------------------------------------
+
+
+def _load_inference_client():
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "train_deploy_alignment/inference/inference_client.py"
+    spec = importlib.util.spec_from_file_location("inference_client", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+class _ChunkPolicy:
+    """Stub server: returns a deterministic [horizon, dim] chunk, counts calls."""
+
+    def __init__(self, horizon=10, dim=14):
+        self.calls = 0
+        self.horizon, self.dim = horizon, dim
+
+    def infer(self, obs):
+        self.calls += 1
+        base = np.full((self.horizon, self.dim), float(self.calls), dtype=np.float32)
+        return {"actions": base}
+
+
+@pytest.mark.parametrize("mode", ["sync", "smooth", "ensemble", "rtc"])
+def test_inference_client_driver_loops(mode):
+    ic = _load_inference_client()
+    robot = ic.SimRobot()
+    policy = _ChunkPolicy()
+    kwargs = dict(policy=policy, robot=robot, prompt="p", publish_rate=500.0, max_steps=12)
+    if mode == "sync":
+        ic.run_sync(**kwargs)
+    elif mode == "smooth":
+        ic.run_smooth(**kwargs, infer_rate=100.0)
+    elif mode == "ensemble":
+        ic.run_ensemble(**kwargs, infer_rate=100.0)
+    else:
+        ic.run_rtc(**kwargs, execute_horizon=5)
+    assert policy.calls >= 1
+    # the robot executed exactly max_steps actions
+    assert np.all(np.isfinite(robot._state))

@@ -86,3 +86,90 @@ def test_websocket_server_client_roundtrip():
     result2 = client.infer({"state": state})
     assert "prev_total_ms" in result2["server_timing"]
     client.close()
+
+
+# ---------------------------------------------------------------------------
+# Client runtime loop (kai0_client/runtime): episode pacing + subscriber protocol
+# ---------------------------------------------------------------------------
+
+
+def test_runtime_episode_loop():
+    from kai0_client.runtime.agents.policy_agent import PolicyAgent
+    from kai0_client.runtime.environment import Environment
+    from kai0_client.runtime.runtime import Runtime
+    from kai0_client.runtime.subscriber import Subscriber
+
+    class FakeEnv(Environment):
+        def __init__(self):
+            self.resets = 0
+            self.episode_steps = 0
+            self.total_steps = 0
+
+        def reset(self):
+            self.resets += 1
+            self.episode_steps = 0
+
+        def is_episode_complete(self):
+            return self.episode_steps >= 5  # env-driven termination
+
+        def get_observation(self):
+            return {"state": np.zeros(3), "step": self.episode_steps}
+
+        def apply_action(self, action):
+            self.episode_steps += 1
+            self.total_steps += 1
+
+    class Recorder(Subscriber):
+        def __init__(self):
+            self.events = []
+
+        def on_episode_start(self):
+            self.events.append("start")
+
+        def on_step(self, observation, action):
+            self.events.append(("step", observation["step"], action["actions"].shape))
+
+        def on_episode_end(self):
+            self.events.append("end")
+
+    env = FakeEnv()
+    rec = Recorder()
+    agent = PolicyAgent(_CountingPolicy(horizon=4))
+    Runtime(env, agent, [rec], num_episodes=2).run()
+
+    assert env.resets == 2
+    assert env.total_steps == 10
+    assert rec.events[0] == "start"
+    assert rec.events.count("start") == 2
+    assert rec.events.count("end") == 2
+    assert rec.events[1] == ("step", 0, (4, 1))
+
+
+def test_runtime_max_episode_steps_and_pacing():
+    from kai0_client.runtime.agents.policy_agent import PolicyAgent
+    from kai0_client.runtime.environment import Environment
+    from kai0_client.runtime.runtime import Runtime
+
+    class EndlessEnv(Environment):
+        def __init__(self):
+            self.applied = 0
+
+        def reset(self):
+            pass
+
+        def is_episode_complete(self):
+            return False  # never ends on its own
+
+        def get_observation(self):
+            return {}
+
+        def apply_action(self, action):
+            self.applied += 1
+
+    env = EndlessEnv()
+    t0 = time.monotonic()
+    Runtime(env, PolicyAgent(_CountingPolicy()), max_hz=100.0, max_episode_steps=7).run()
+    elapsed = time.monotonic() - t0
+    assert env.applied == 7
+    # 7 steps at 100 Hz must take at least ~6 inter-step periods.
+    assert elapsed >= 0.05

@@ -74,3 +74,33 @@ def test_train_step_decreases_loss_on_repeated_batch(tmp_path):
         losses.append(float(info["loss"]))
     assert losses[-1] < losses[0], losses
     assert all(jnp.isfinite(jnp.asarray(losses)))
+
+
+def test_registry_covers_every_reference_config_name():
+    """Config names are public CLI surface: every named config in the reference
+    registry (config.py `_CONFIGS` + misc packs) must exist here under the same
+    name (SURVEY.md §7 design stance)."""
+    import pathlib
+    import re
+
+    ref_root = pathlib.Path("/root/reference/src/openpi/training")
+    if not ref_root.exists():
+        pytest.skip("reference tree not mounted")
+    text = "".join(
+        p.read_text()
+        for p in [
+            ref_root / "config.py",
+            ref_root / "misc/polaris_config.py",
+            ref_root / "misc/roboarena_config.py",
+        ]
+    )
+    # name="..." matches TrainConfigs plus two RLDS dataset-mixture names.
+    ref_names = set(re.findall(r'name="([^"]+)"', text)) - {"droid", "polaris_droid_cotrain_dataset"}
+    ours = set(_config.registry().keys())
+    assert ref_names <= ours, f"missing configs: {sorted(ref_names - ours)}"
+
+
+def test_registry_configs_instantiate():
+    for name, cfg in _config.registry().items():
+        assert cfg.name == name
+        assert cfg.batch_size > 0
