@@ -124,9 +124,9 @@ def main():
 
         quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
         # With the int8 base's freed HBM, saving the per-block attention outputs
-        # (KAI0_REMAT=attn) skips their backward recompute: +0.4% reproducible
-        # (9.853 vs 9.812). bf16 at batch 12 OOMs by ~240 MB with it, so the
-        # default only upgrades the int8 configuration.
+        # (KAI0_REMAT=attn, gemma + SigLIP) skips their backward recompute: +0.6%
+        # reproducible (9.81 -> 9.87). bf16 at batch 12 OOMs by ~240 MB with it,
+        # so the default only upgrades the int8 configuration.
         if quantize:
             os.environ.setdefault("KAI0_REMAT", "attn")
     else:  # CPU smoke mode so the bench is runnable anywhere

@@ -291,7 +291,7 @@ def _block(
     post_attn, kv_cache = _attn(layer_params["attn"], configs, pre_attn, positions, attn_mask, kv_cache)
     # Tag for KAI0_REMAT=attn: saving these lets the backward skip the whole
     # attention sub-block recompute (no-op under other policies).
-    post_attn = [None if x is None else _checkpoint_name(x, "gemma_attn_out") for x in post_attn]
+    post_attn = [None if x is None else _checkpoint_name(x, "kai0_attn_out") for x in post_attn]
     post_attn = _sharding.activation_sharding_constraint(post_attn)
     xs = [_gated_residual(x, y, g) for x, y, g in zip(xs, post_attn, gates, strict=True)]
     xs = _sharding.activation_sharding_constraint(xs)
@@ -332,9 +332,12 @@ def _remat_policy():
         reference's ``nothing_saveable`` behavior (gemma.py:359-381);
       - ``dots``: save matmul outputs — faster backward, more HBM;
       - ``attn``: save only the per-block attention outputs (post ``attn_vec``
-        projection, tagged ``gemma_attn_out``) — the backward skips the entire
+        projection, tagged ``kai0_attn_out``) — the backward skips the entire
         attention sub-block recompute (qkv/RoPE/flash/out-proj, ~12% of block
-        FLOPs at lower-than-FFN MFU) for ~49 MB/layer at batch 12 (~880 MB);
+        FLOPs at lower-than-FFN MFU) for ~49 MB/layer at batch 12 (~880 MB).
+        SigLIP blocks tag their attention outputs with the same name
+        (siglip.py ``_encoder_block``), adding ~570 MB and skipping the ViT
+        attention recompute too;
       - ``none``: no remat — fastest backward, activations fully resident (fits for
         LoRA fine-tunes / small batches).
     """
@@ -346,7 +349,7 @@ def _remat_policy():
     if mode == "dots":
         return jax.checkpoint_policies.dots_saveable
     if mode == "attn":
-        return jax.checkpoint_policies.save_only_these_names("gemma_attn_out")
+        return jax.checkpoint_policies.save_only_these_names("kai0_attn_out")
     return jax.checkpoint_policies.nothing_saveable
 
 

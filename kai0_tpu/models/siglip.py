@@ -20,6 +20,7 @@ from __future__ import annotations
 import dataclasses
 
 import jax
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 import jax.numpy as jnp
 import numpy as np
 
@@ -181,6 +182,9 @@ def _encoder_block(block_params: dict, x: jax.Array, num_heads: int) -> jax.Arra
     x = _sharding.activation_sharding_constraint(x)
     y = _layer_norm(block_params["LayerNorm_0"], x)
     y = _mhsa(block_params["MultiHeadDotProductAttention_0"], y, num_heads)
+    # KAI0_REMAT=attn saves this (~21 MB/layer at batch 12) so the backward skips
+    # the attention recompute; no-op under other remat policies.
+    y = _checkpoint_name(y, "kai0_attn_out")
     y = _sharding.activation_sharding_constraint(y)
     x = x + y
     y = _layer_norm(block_params["LayerNorm_1"], x)

@@ -7,6 +7,7 @@ int8 weights (``--int8``, kai0_tpu/ops/quant.py): serving at batch 1 is
 HBM-bandwidth-bound, so halving weight bytes is the main lever.
 
 Usage: python scripts/bench_serve.py [--int8] [--batch 1] [--chunks 20]
+       python scripts/bench_serve.py --model pi0_fast [--int8]   # AR token decode
 """
 
 import argparse
@@ -26,12 +27,30 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--chunks", type=int, default=20)
     ap.add_argument("--num_steps", type=int, default=10)
+    ap.add_argument(
+        "--model",
+        choices=["pi05", "pi0_fast"],
+        default="pi05",
+        help="pi05: 10-step Euler denoise; pi0_fast: autoregressive token decode",
+    )
+    ap.add_argument(
+        "--max_decoding_steps",
+        type=int,
+        default=256,
+        help="pi0_fast only. With random bench params greedy decode hits EOS almost "
+        "immediately (measures prefill); use --temperature 1 for full-length decode.",
+    )
+    ap.add_argument("--temperature", type=float, default=0.0)
     args = ap.parse_args()
 
     from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.models import pi0_fast as _pi0_fast
     from kai0_tpu.ops import quant
 
-    config = _pi0.Pi0Config(pi05=True)
+    if args.model == "pi0_fast":
+        config = _pi0_fast.Pi0FASTConfig()
+    else:
+        config = _pi0.Pi0Config(pi05=True)
 
     @jax.jit
     def make_params(rng):
@@ -47,8 +66,13 @@ def main():
     jax.block_until_ready(params)
     obs = config.fake_obs(args.batch)
 
+    if args.model == "pi0_fast":
+        sample_kwargs = {"max_decoding_steps": args.max_decoding_steps, "temperature": args.temperature}
+    else:
+        sample_kwargs = {"num_steps": args.num_steps}
+
     def one(params, obs, rng):
-        actions = config.sample_actions(params, rng, obs, num_steps=args.num_steps)
+        actions = config.sample_actions(params, rng, obs, **sample_kwargs)
         return jax.random.fold_in(rng, 0), actions
 
     @jax.jit
@@ -72,7 +96,7 @@ def main():
     _ = float(jnp.sum(a.astype(jnp.float32)))
     dt = (time.time() - t0) / args.chunks
     mode = "int8" if args.int8 else "bf16"
-    print(f"sample_actions[{mode}] batch={args.batch}: {dt * 1000:.1f} ms/chunk")
+    print(f"{args.model} sample_actions[{mode}] batch={args.batch}: {dt * 1000:.1f} ms/chunk")
 
 
 if __name__ == "__main__":

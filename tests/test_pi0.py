@@ -130,6 +130,43 @@ def test_pi0_lora_params_and_freeze_filter():
     assert not frozen_none("PaliGemma/llm/layers/attn/q_einsum/w")
 
 
+def test_remat_policies_agree_on_gradients(pi05_setup, monkeypatch):
+    """Every KAI0_REMAT mode yields the same loss and gradients (f32 dummy model).
+
+    The modes only change what the backward pass recomputes vs reads from saved
+    activations (gemma.py ``_remat_policy``; the ``attn`` tag spans gemma and
+    SigLIP blocks) — numerics must be unaffected.
+    """
+    config, params = pi05_setup
+    obs = config.fake_obs(batch_size=2)
+    actions = config.fake_act(batch_size=2)
+
+    def loss_and_grad():
+        def loss_fn(p):
+            return config.compute_loss(p, jax.random.key(0), obs, actions).mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        return np.asarray(loss), jax.tree.map(np.asarray, grads)
+
+    results = {}
+    for mode in ("nothing", "attn", "dots", "none"):
+        monkeypatch.setenv("KAI0_REMAT", mode)
+        jax.clear_caches()  # the policy is read from env at trace time
+        results[mode] = loss_and_grad()
+    monkeypatch.delenv("KAI0_REMAT")
+    jax.clear_caches()
+
+    ref_loss, ref_grads = results["nothing"]
+    for mode in ("attn", "dots", "none"):
+        loss, grads = results[mode]
+        np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6),
+            grads,
+            ref_grads,
+        )
+
+
 def test_sample_actions_consistent_with_velocity_steps(pi0_setup):
     """One Euler step with num_steps=1 equals noise + dt*v(noise, 1)."""
     config, params = pi0_setup
