@@ -63,6 +63,11 @@ def apply_einsum(params: dict, eqn: str, x: jax.Array, lora_config: LoRAConfig |
     w = params["w"]
     if _quant.is_quant(w):
         # Frozen int8 base (KAI0_INT8 LoRA fast path) — one rank-2 MXU int8 matmul.
+        # Negative result: folding the LoRA correction into the epilogue here (as
+        # the FFN sites do via apply_quant_split) measured 10.16 vs 10.33
+        # samples/s — the attention adds already overlap well, and the fused form
+        # trades that for serialization. Keep the plain add (base dot first: even
+        # the trace-order swap of lora-before-base costs ~0.6% in XLA's schedule).
         result = _quant.apply_quant_einsum(w, eqn, x)
     else:
         result = jnp.einsum(eqn, x, w.astype(dtype))
@@ -120,7 +125,10 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
 
     def dot(x, w, lora_ab):
         if _quant.is_quant(w):
-            return _quant.apply_quant_einsum(w, "BTF,FD->BTD", x) + lora_term(x, lora_ab)
+            # The LoRA correction rides the int8 matmul's chunk epilogue (one less
+            # full read+write of the [B,T,F] base output per site — see _make_qmm).
+            add = None if lora_ab is None else lora_term(x, lora_ab)
+            return _quant.apply_quant_einsum(w, "BTF,FD->BTD", x, add=add)
         return jnp.dot(x, w.astype(x.dtype)) + lora_term(x, lora_ab)
 
     has_lora = "gating_einsum_lora_a" in params
@@ -128,10 +136,13 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
     if _quant.is_quant(gating):
         # Int8 gate+up as two column-sliced matmuls (one stacked QuantArray leaf);
         # the fused 2BTF einsum form OOMs 16 GB chips — see apply_quant_split.
-        ff_gate, ff1 = _quant.apply_quant_split(gating, x)
+        adds = None
         if has_lora:
-            ff_gate = ff_gate + lora_term(x, (params["gating_einsum_lora_a"][0], params["gating_einsum_lora_b"][0]))
-            ff1 = ff1 + lora_term(x, (params["gating_einsum_lora_a"][1], params["gating_einsum_lora_b"][1]))
+            adds = tuple(
+                lora_term(x, (params["gating_einsum_lora_a"][i], params["gating_einsum_lora_b"][i]))
+                for i in range(2)
+            )
+        ff_gate, ff1 = _quant.apply_quant_split(gating, x, adds=adds)
     else:
         ff_gate = dot(
             x,

@@ -184,31 +184,27 @@ def _row_chunks(m: int, width: int) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _make_qmm(bwd_int8: bool):
-    """Rank-2 quantized matmul y = q_row(x) @ (q * s), straight-through d/dx.
+def _make_qmm(bwd_int8: bool, has_add: bool):
+    """Rank-2 quantized matmul y = q_row(x) @ (q * s) [+ add], straight-through d/dx.
+
+    With ``has_add``, an extra operand of y's shape (e.g. a LoRA correction) is
+    summed inside the chunk epilogue: the scaling copy already reads/writes the
+    output there, so folding the add in saves a full extra read+write of the base
+    output per call site (~760 MB per FFN site at batch 12, xprof ~1.9 ms each).
+    The add's cotangent is dy unchanged.
 
     bwd computes only dL/dx (the weight is frozen — its cotangent is float0/zero);
     with ``bwd_int8`` the incoming gradient is also row-quantized so the backward
     matmul rides the int8 MXU path: dx = q_row(dy * s) @ q^T * s_row.
     """
 
-    @jax.custom_vjp
-    def qmm(x, q, s):
-        return _qmm_fwd_impl(x, q, s)
-
-    def fwd(x, q, s):
-        return _qmm_fwd_impl(x, q, s), (q, s)
-
-    def bwd(res, dy):
-        q, s = res
-
+    def _bwd_dx(q, s, dy):
         if bwd_int8 and _pallas_enabled():
             from kai0_tpu.ops import pallas_quant
 
             g = dy.astype(jnp.float32) * s
             gq, sg = _row_quant(g)
-            dx = pallas_quant.int8_matmul(gq, q, sg, None, nt=True, out_dtype=dy.dtype)
-            return dx, np.zeros(q.shape, jax.dtypes.float0), np.zeros(s.shape, jax.dtypes.float0)
+            return pallas_quant.int8_matmul(gq, q, sg, None, nt=True, out_dtype=dy.dtype)
 
         def bwd_chunk(dyc):
             g = dyc.astype(jnp.float32) * s
@@ -219,52 +215,107 @@ def _make_qmm(bwd_int8: bool):
                 return (dxi.astype(jnp.float32) * sg).astype(dy.dtype)
             return jax.lax.dot_general(g.astype(dy.dtype), q.astype(dy.dtype), (((1,), (1,)), ((), ())))
 
-        dx = _row_chunked(bwd_chunk, dy, max(q.shape))
-        return dx, np.zeros(q.shape, jax.dtypes.float0), np.zeros(s.shape, jax.dtypes.float0)
+        return _row_chunked(bwd_chunk, dy, max(q.shape))
+
+    _zero_w = lambda q, s: (
+        np.zeros(q.shape, jax.dtypes.float0),
+        np.zeros(s.shape, jax.dtypes.float0),
+    )
+
+    if has_add:
+
+        @jax.custom_vjp
+        def qmm_add(x, add, q, s):
+            return _qmm_fwd_impl(x, add, q, s)
+
+        def fwd_a(x, add, q, s):
+            return _qmm_fwd_impl(x, add, q, s), (q, s)
+
+        def bwd_a(res, dy):
+            q, s = res
+            return (_bwd_dx(q, s, dy), dy, *_zero_w(q, s))
+
+        qmm_add.defvjp(fwd_a, bwd_a)
+        return qmm_add
+
+    @jax.custom_vjp
+    def qmm(x, q, s):
+        return _qmm_fwd_impl(x, None, q, s)
+
+    def fwd(x, q, s):
+        return _qmm_fwd_impl(x, None, q, s), (q, s)
+
+    def bwd(res, dy):
+        q, s = res
+        return (_bwd_dx(q, s, dy), *_zero_w(q, s))
 
     qmm.defvjp(fwd, bwd)
     return qmm
 
 
-def _row_chunked(f, x, width: int):
-    """Apply f (rows -> rows) over row chunks of x, serialized via lax.map."""
+def _row_chunked(f, x, width: int, extra=None):
+    """Apply f (rows -> rows) over row chunks of x (zipped with ``extra`` when
+    given), serialized via lax.map."""
     m = x.shape[0]
     c = _row_chunks(m, width)
     if c == 1:
-        return f(x)
-    ys = jax.lax.map(f, x.reshape(c, m // c, *x.shape[1:]))
+        return f(x) if extra is None else f(x, extra)
+    xs = x.reshape(c, m // c, *x.shape[1:])
+    if extra is None:
+        ys = jax.lax.map(f, xs)
+    else:
+        ys = jax.lax.map(lambda xe: f(*xe), (xs, extra.reshape(c, m // c, *extra.shape[1:])))
     return ys.reshape(m, *ys.shape[2:])
 
 
-def _qmm_fwd_impl(x, q, s):
+def _qmm_fwd_impl(x, add, q, s):
     if _pallas_enabled():
         from kai0_tpu.ops import pallas_quant
 
         xq, sx = _row_quant(x)
-        return pallas_quant.int8_matmul(xq, q, sx, s, out_dtype=x.dtype)
+        y = pallas_quant.int8_matmul(xq, q, sx, s, out_dtype=x.dtype)
+        return y if add is None else y + add
 
-    def fwd_chunk(xc):
+    def fwd_chunk(xc, *addc):
         sx = jnp.maximum(jnp.max(jnp.abs(xc), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
         xq = jnp.round(xc.astype(jnp.float32) / sx).astype(jnp.int8)
         yi = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-        return (yi.astype(jnp.float32) * sx * s).astype(xc.dtype)
+        yf = yi.astype(jnp.float32) * sx * s
+        if addc:
+            yf = yf + addc[0].astype(jnp.float32)
+        return yf.astype(xc.dtype)
 
-    return _row_chunked(fwd_chunk, x, max(q.shape))
+    return _row_chunked(fwd_chunk, x, max(q.shape), extra=add)
 
 
-def qmm(x2d: jax.Array, qa_q: jax.Array, qa_s: jax.Array) -> jax.Array:
-    return _make_qmm(_bwd_int8_enabled())(x2d, qa_q, qa_s)
+def qmm(x2d: jax.Array, qa_q: jax.Array, qa_s: jax.Array, add: jax.Array | None = None) -> jax.Array:
+    if add is not None:
+        return _make_qmm(_bwd_int8_enabled(), True)(x2d, add, qa_q, qa_s)
+    return _make_qmm(_bwd_int8_enabled(), False)(x2d, qa_q, qa_s)
 
 
-def apply_quant_einsum(qa: QuantArray, eqn: str, x: jax.Array) -> jax.Array:
-    """Quantized counterpart of ``jnp.einsum(eqn, x, w)`` for 2-operand equations."""
+def can_fuse_add(eqn: str) -> bool:
+    """True when the equation's output needs no transpose after the rank-2 matmul,
+    i.e. ``apply_quant_einsum`` can fold an additive term into the epilogue."""
+    lhs, _, out, contracted, w_other = _parse(eqn)
+    return lhs[: len(lhs) - len(contracted)] + w_other == out
+
+
+def apply_quant_einsum(qa: QuantArray, eqn: str, x: jax.Array, add: jax.Array | None = None) -> jax.Array:
+    """Quantized counterpart of ``jnp.einsum(eqn, x, w)`` for 2-operand equations.
+
+    ``add`` (in the *output* shape, only for equations whose output needs no
+    transpose) is folded into the matmul epilogue — see ``_make_qmm``.
+    """
     if eqn != qa.eqn:
         raise ValueError(f"QuantArray was built for eqn {qa.eqn!r}, applied with {eqn!r}")
     lhs, rhs, out, contracted, w_other = _parse(eqn)
     batch_labels = lhs[: len(lhs) - len(contracted)]
     batch_shape = x.shape[: len(batch_labels)]
     x2 = x.reshape(int(np.prod(batch_shape)), -1)
-    y2 = qmm(x2, qa.q, qa.s)
+    if add is not None and batch_labels + w_other != out:
+        raise ValueError(f"add requires a transpose-free output for eqn {eqn!r}")
+    y2 = qmm(x2, qa.q, qa.s, None if add is None else add.reshape(x2.shape[0], -1))
     n_labels = batch_labels + w_other
     other_shape = [qa.orig_shape[rhs.index(l)] for l in w_other]
     y = y2.reshape(*batch_shape, *other_shape)
@@ -273,7 +324,7 @@ def apply_quant_einsum(qa: QuantArray, eqn: str, x: jax.Array) -> jax.Array:
     return y
 
 
-def apply_quant_split(qa: QuantArray, x: jax.Array) -> tuple[jax.Array, ...]:
+def apply_quant_split(qa: QuantArray, x: jax.Array, adds=None) -> tuple[jax.Array, ...]:
     """Apply a stacked-weight QuantArray (w_other led by a numeric label, e.g.
     ``BTD,2DF->2BTF``) as per-slice rank-2 matmuls, returning the slices separately.
 
@@ -291,11 +342,27 @@ def apply_quant_split(qa: QuantArray, x: jax.Array) -> tuple[jax.Array, ...]:
     x2 = x.reshape(int(np.prod(batch_shape)), -1)
     rest_shape = [qa.orig_shape[rhs.index(l)] for l in w_other[1:]]
     cols = int(np.prod(rest_shape))
-    # One full-width dot, then column slices: the stacked axis is outermost in the
-    # quantized column layout, so slice i is a contiguous column block. (Per-slice
-    # dots on sliced weights compile poorly and exhaust TPU memory in-model.)
+    if env_flag("KAI0_INT8_SPLITDOT", "1"):
+        # One qmm per slice on a column-sliced weight: the stacked axis is outermost
+        # in the quantized column layout, so slice i of (q, s) is a contiguous column
+        # block. Slicing the *weight* copies ≤q_bytes/n per layer (int8, cheap);
+        # slicing the *output* of a single full-width dot materializes the full
+        # [rows, n*cols] activation twice (xprof: ~42 ms/step each for the fwd slice,
+        # the remat recompute slice, and the backward pad+add at the batch-12 gate/up
+        # site — ~10% of the train step in pure HBM traffic).
+        ys = []
+        for i in range(n):
+            qi = jax.lax.slice_in_dim(qa.q, i * cols, (i + 1) * cols, axis=-1)
+            si = jax.lax.slice_in_dim(qa.s, i * cols, (i + 1) * cols, axis=-1)
+            add = None if adds is None or adds[i] is None else adds[i].reshape(x2.shape[0], -1)
+            ys.append(qmm(x2, qi, si, add).reshape(*batch_shape, *rest_shape))
+        return tuple(ys)
+    # Fallback (KAI0_INT8_SPLITDOT=0): one full-width dot, then column slices.
     y2 = qmm(x2, qa.q, qa.s)
-    return tuple(y2[:, i * cols : (i + 1) * cols].reshape(*batch_shape, *rest_shape) for i in range(n))
+    out = tuple(y2[:, i * cols : (i + 1) * cols].reshape(*batch_shape, *rest_shape) for i in range(n))
+    if adds is not None:
+        out = tuple(y if a is None else y + a for y, a in zip(out, adds, strict=True))
+    return out
 
 
 # --------------------------------------------------------------------------------------

@@ -354,8 +354,61 @@ def test_pallas_qmm_epilogue_matches_xla_qmm_bf16():
     w = jnp.array(rng.standard_normal((256, 128)), jnp.float32)
     qa = quant.quantize_einsum_weight(w, "BD,DF->BF")
 
-    xla = quant._qmm_fwd_impl(x, qa.q, qa.s)
+    xla = quant._qmm_fwd_impl(x, None, qa.q, qa.s)
     xq, sx = quant._row_quant(x)
     with pltpu.force_tpu_interpret_mode():
         pal = pallas_quant.int8_matmul(xq, qa.q, sx, qa.s, out_dtype=x.dtype)
     np.testing.assert_array_equal(np.asarray(xla), np.asarray(pal))
+
+
+def test_split_dot_matches_full_dot_slices(monkeypatch):
+    """KAI0_INT8_SPLITDOT=1 (per-half dots on column-sliced weights) must produce
+    exactly the column slices of the full-width dot: the row scales depend only on
+    x, so quantization is identical either way."""
+    rng = np.random.default_rng(3)
+    x = jnp.array(rng.standard_normal((2, 12, 32)), jnp.float32)
+    w = jnp.array(rng.standard_normal((2, 32, 48)), jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BTD,2DF->2BTF")
+
+    monkeypatch.setenv("KAI0_INT8_SPLITDOT", "0")
+    full = quant.apply_quant_split(qa, x)
+    monkeypatch.setenv("KAI0_INT8_SPLITDOT", "1")
+    split = quant.apply_quant_split(qa, x)
+    for a, b in zip(full, split, strict=True):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fused_add_epilogue_matches_plain_add():
+    """The qmm epilogue add (LoRA fast path) must equal computing the matmul and
+    adding afterwards, in value and in gradients (dx straight-through, d_add=dy)."""
+    rng = np.random.default_rng(4)
+    x = jnp.array(rng.standard_normal((2, 12, 32)), jnp.float32)
+    w = jnp.array(rng.standard_normal((2, 32, 48)), jnp.float32)
+    qa = quant.quantize_einsum_weight(w, "BTD,2DF->2BTF")
+    adds = tuple(jnp.array(rng.standard_normal((2, 12, 48)), jnp.float32) for _ in range(2))
+
+    def fused(x, adds):
+        ys = quant.apply_quant_split(qa, x, adds=adds)
+        return sum(jnp.sum(jnp.sin(y)) for y in ys)
+
+    def plain(x, adds):
+        ys = quant.apply_quant_split(qa, x)
+        return sum(jnp.sum(jnp.sin(y + a)) for y, a in zip(ys, adds, strict=True))
+
+    np.testing.assert_allclose(float(fused(x, adds)), float(plain(x, adds)), rtol=1e-6)
+    gf = jax.grad(fused, argnums=(0, 1))(x, adds)
+    gp = jax.grad(plain, argnums=(0, 1))(x, adds)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        gf,
+        gp,
+    )
+
+    # apply_quant_einsum add on the transpose-free linear eqn
+    qa2 = quant.quantize_einsum_weight(jnp.array(rng.standard_normal((48, 32)), jnp.float32), "BTF,FD->BTD")
+    xl = jnp.array(rng.standard_normal((2, 12, 48)), jnp.float32)
+    a2 = jnp.array(rng.standard_normal((2, 12, 32)), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(quant.apply_quant_einsum(qa2, "BTF,FD->BTD", xl, add=a2)),
+        np.asarray(quant.apply_quant_einsum(qa2, "BTF,FD->BTD", xl) + a2),
+    )
