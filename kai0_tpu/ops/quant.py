@@ -255,16 +255,33 @@ def _make_qmm(bwd_int8: bool, has_add: bool):
 
 def _row_chunked(f, x, width: int, extra=None):
     """Apply f (rows -> rows) over row chunks of x (zipped with ``extra`` when
-    given), serialized via lax.map."""
+    given), one chunk's temporaries live at a time."""
     m = x.shape[0]
     c = _row_chunks(m, width)
     if c == 1:
         return f(x) if extra is None else f(x, extra)
     xs = x.reshape(c, m // c, *x.shape[1:])
-    if extra is None:
+    es = None if extra is None else extra.reshape(c, m // c, *extra.shape[1:])
+    if env_flag("KAI0_INT8_UNROLL", "0"):
+        # Unrolled chunks + concatenate instead of lax.map: the map's stacked-output
+        # while-loop carry is zero-initialized with a materialized [m, width] write
+        # (~0.6 ms per 380 MB buffer, ~54 ms/step across the gate/up/down sites at
+        # batch 12) even though every element is overwritten. Unrolled, buffer
+        # assignment writes each chunk's dot straight into its concat slice. The
+        # optimization_barrier chains chunk i's input to chunk i-1's output so the
+        # scheduler cannot interleave chunks (which would triple the live int32/f32
+        # dot temporaries that chunking exists to bound).
+        ys = []
+        for i in range(c):
+            xi = xs[i]
+            if ys and env_flag("KAI0_INT8_UNROLL_BARRIER", "0"):
+                xi, _ = jax.lax.optimization_barrier((xi, ys[-1]))
+            ys.append(f(xi) if es is None else f(xi, es[i]))
+        return jnp.concatenate(ys, axis=0)
+    if es is None:
         ys = jax.lax.map(f, xs)
     else:
-        ys = jax.lax.map(lambda xe: f(*xe), (xs, extra.reshape(c, m // c, *extra.shape[1:])))
+        ys = jax.lax.map(lambda xe: f(*xe), (xs, es))
     return ys.reshape(m, *ys.shape[2:])
 
 
