@@ -25,7 +25,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from kai0_tpu.ops import attention as _attention
+from kai0_tpu.ops import quant as _quant
 from kai0_tpu.parallel import sharding as _sharding
+
+
+def _einsum(eqn: str, x: jax.Array, w: jax.Array, site: str) -> jax.Array:
+    """Trainable matmul site: bf16 einsum, or SwitchBack dynamic int8 under
+    ``KAI0_INT8_SB`` (the SigLIP tower trains even in LoRA mode — reference
+    freeze filter only matches ``.*llm.*`` — so these cannot use the static
+    frozen-weight quantization that covers the Gemma sites)."""
+    if _quant.switchback_enabled(site):
+        return _quant.switchback_einsum(eqn, x, w)
+    return jnp.einsum(eqn, x, w)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -160,22 +171,22 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
     (no transposes between projection and attention).
     """
     dtype = x.dtype
-    q = jnp.einsum("btd,dnh->bnth", x, params["query"]["kernel"].astype(dtype)) + params["query"]["bias"].astype(dtype)[None, :, None, :]
-    k = jnp.einsum("bsd,dnh->bnsh", x, params["key"]["kernel"].astype(dtype)) + params["key"]["bias"].astype(dtype)[None, :, None, :]
-    v = jnp.einsum("bsd,dnh->bnsh", x, params["value"]["kernel"].astype(dtype)) + params["value"]["bias"].astype(dtype)[None, :, None, :]
+    q = _einsum("btd,dnh->bnth", x, params["query"]["kernel"].astype(dtype), "attn") + params["query"]["bias"].astype(dtype)[None, :, None, :]
+    k = _einsum("bsd,dnh->bnsh", x, params["key"]["kernel"].astype(dtype), "attn") + params["key"]["bias"].astype(dtype)[None, :, None, :]
+    v = _einsum("bsd,dnh->bnsh", x, params["value"]["kernel"].astype(dtype), "attn") + params["value"]["bias"].astype(dtype)[None, :, None, :]
     head_dim = q.shape[-1]
     # Python-float scale keeps q weakly typed (an np scalar would upcast bf16→f32).
     encoded = _attention.mhsa_dense_hm(q * float(1.0 / np.sqrt(head_dim)), k, v)
-    return jnp.einsum("bnth,nhd->btd", encoded, params["out"]["kernel"].astype(dtype)) + params["out"]["bias"].astype(
+    return _einsum("bnth,nhd->btd", encoded, params["out"]["kernel"].astype(dtype), "attn") + params["out"]["bias"].astype(
         dtype
     )
 
 
 def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
     dtype = x.dtype
-    x = jnp.dot(x, params["Dense_0"]["kernel"].astype(dtype)) + params["Dense_0"]["bias"].astype(dtype)
+    x = _einsum("btd,df->btf", x, params["Dense_0"]["kernel"].astype(dtype), "mlp") + params["Dense_0"]["bias"].astype(dtype)
     x = jax.nn.gelu(x)
-    return jnp.dot(x, params["Dense_1"]["kernel"].astype(dtype)) + params["Dense_1"]["bias"].astype(dtype)
+    return _einsum("btf,fd->btd", x, params["Dense_1"]["kernel"].astype(dtype), "mlp") + params["Dense_1"]["bias"].astype(dtype)
 
 
 def _encoder_block(block_params: dict, x: jax.Array, num_heads: int) -> jax.Array:
@@ -226,5 +237,5 @@ def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
 
     if config.num_classes:
         dtype = x.dtype
-        x = jnp.dot(x, params["head"]["kernel"].astype(dtype)) + params["head"]["bias"].astype(dtype)
+        x = _einsum("btd,dc->btc", x, params["head"]["kernel"].astype(dtype), "head") + params["head"]["bias"].astype(dtype)
     return x

@@ -441,6 +441,13 @@ def _mhsa_bwd_impl(q, k, v, out, lse, g):
             bytes_accessed=6 * q.size * np.dtype(q.dtype).itemsize,
             transcendentals=b * n * t * s,
         ),
+        # At the SigLIP shapes (N=16, S=256, H=72→128 lanes) this kernel sits
+        # ~16 MB of scoped VMEM — right at Mosaic's conservative default, and
+        # whether it fits depends on the *surrounding* program's operand layouts
+        # (KAI0_INT8_SB's rank-2 projections tipped it 824 KB over). v5e has
+        # 128 MB VMEM; give the backward real headroom instead of shrinking
+        # block_t (which would re-stream K/V per extra q-block).
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=32 * 2**20),
     )(q, k, v, out, lse, g)
     return dq, dk.astype(k.dtype), dv.astype(v.dtype)
 

@@ -183,6 +183,31 @@ def _row_chunks(m: int, width: int) -> int:
     return best
 
 
+def _bwd_dx(q, s, dy, bwd_int8: bool):
+    """dL/dx of a quantized matmul: dx = (dy * s) @ q^T, straight-through.
+
+    With ``bwd_int8`` the incoming gradient is row-quantized so the backward
+    matmul rides the int8 MXU path: dx = q_row(dy * s) @ q^T * s_row.
+    """
+    if bwd_int8 and _pallas_enabled():
+        from kai0_tpu.ops import pallas_quant
+
+        g = dy.astype(jnp.float32) * s
+        gq, sg = _row_quant(g)
+        return pallas_quant.int8_matmul(gq, q, sg, None, nt=True, out_dtype=dy.dtype)
+
+    def bwd_chunk(dyc):
+        g = dyc.astype(jnp.float32) * s
+        if bwd_int8:
+            sg = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
+            gq = jnp.round(g / sg).astype(jnp.int8)
+            dxi = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+            return (dxi.astype(jnp.float32) * sg).astype(dy.dtype)
+        return jax.lax.dot_general(g.astype(dy.dtype), q.astype(dy.dtype), (((1,), (1,)), ((), ())))
+
+    return _row_chunked(bwd_chunk, dy, max(q.shape))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_qmm(bwd_int8: bool, has_add: bool):
     """Rank-2 quantized matmul y = q_row(x) @ (q * s) [+ add], straight-through d/dx.
@@ -193,29 +218,8 @@ def _make_qmm(bwd_int8: bool, has_add: bool):
     output per call site (~760 MB per FFN site at batch 12, xprof ~1.9 ms each).
     The add's cotangent is dy unchanged.
 
-    bwd computes only dL/dx (the weight is frozen — its cotangent is float0/zero);
-    with ``bwd_int8`` the incoming gradient is also row-quantized so the backward
-    matmul rides the int8 MXU path: dx = q_row(dy * s) @ q^T * s_row.
+    bwd computes only dL/dx (the weight is frozen — its cotangent is float0/zero).
     """
-
-    def _bwd_dx(q, s, dy):
-        if bwd_int8 and _pallas_enabled():
-            from kai0_tpu.ops import pallas_quant
-
-            g = dy.astype(jnp.float32) * s
-            gq, sg = _row_quant(g)
-            return pallas_quant.int8_matmul(gq, q, sg, None, nt=True, out_dtype=dy.dtype)
-
-        def bwd_chunk(dyc):
-            g = dyc.astype(jnp.float32) * s
-            if bwd_int8:
-                sg = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
-                gq = jnp.round(g / sg).astype(jnp.int8)
-                dxi = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-                return (dxi.astype(jnp.float32) * sg).astype(dy.dtype)
-            return jax.lax.dot_general(g.astype(dy.dtype), q.astype(dy.dtype), (((1,), (1,)), ((), ())))
-
-        return _row_chunked(bwd_chunk, dy, max(q.shape))
 
     _zero_w = lambda q, s: (
         np.zeros(q.shape, jax.dtypes.float0),
@@ -233,7 +237,7 @@ def _make_qmm(bwd_int8: bool, has_add: bool):
 
         def bwd_a(res, dy):
             q, s = res
-            return (_bwd_dx(q, s, dy), dy, *_zero_w(q, s))
+            return (_bwd_dx(q, s, dy, bwd_int8), dy, *_zero_w(q, s))
 
         qmm_add.defvjp(fwd_a, bwd_a)
         return qmm_add
@@ -247,7 +251,7 @@ def _make_qmm(bwd_int8: bool, has_add: bool):
 
     def bwd(res, dy):
         q, s = res
-        return (_bwd_dx(q, s, dy), *_zero_w(q, s))
+        return (_bwd_dx(q, s, dy, bwd_int8), *_zero_w(q, s))
 
     qmm.defvjp(fwd, bwd)
     return qmm
@@ -380,6 +384,106 @@ def apply_quant_split(qa: QuantArray, x: jax.Array, adds=None) -> tuple[jax.Arra
     if adds is not None:
         out = tuple(y if a is None else y + a for y, a in zip(out, adds, strict=True))
     return out
+
+
+# --------------------------------------------------------------------------------------
+# SwitchBack: dynamic int8 for *trainable* matmuls (SigLIP tower)
+# --------------------------------------------------------------------------------------
+
+
+def switchback_enabled(site: str = "") -> bool:
+    """Dynamic int8 for the trainable SigLIP matmuls (``KAI0_INT8_SB``).
+
+    SwitchBack (arXiv:2304.13013, validated on ViT/CLIP training): forward and the
+    activation-gradient matmul run int8 (weights per-output-channel quantized *each
+    call* since they change every step; activations/gradients per-row), while the
+    weight-gradient matmul stays bf16 — wgrad contracts over tokens, where int8
+    row-quantization noise correlates across the batch and hurts convergence.
+    Off by default: it perturbs training numerics (bf16 parity tests require it off).
+
+    ``KAI0_INT8_SB`` is ``0``/``1``/``all`` or a comma-separated site list
+    (``mlp``, ``attn``, ``head``) so the sites can be A/B'd independently —
+    their int8 economics differ (K=1152/4304 MLP dots vs lane-padded head-dim-72
+    attention projections).
+    """
+    spec = os.environ.get("KAI0_INT8_SB", "0")
+    if spec.lower() in ("0", "false", "off", "no", ""):
+        return False
+    if spec.lower() in ("1", "true", "on", "yes", "all"):
+        return True
+    return site in spec.split(",")
+
+
+def _col_quant(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel dynamic quantization: w2 ≈ q * s, s f32 [N]."""
+    s = jnp.maximum(jnp.max(jnp.abs(w2), axis=0).astype(jnp.float32), 1e-30) / 127.0
+    q = jnp.round(w2.astype(jnp.float32) / s).astype(jnp.int8)
+    return q, s
+
+
+@functools.lru_cache(maxsize=None)
+def _make_switchback(bwd_int8: bool):
+    """Rank-2 y = q_row(x) @ (q_col(w)) with straight-through d/dx and bf16 d/dw."""
+
+    @jax.custom_vjp
+    def sb(x2, w2):
+        q, s = _col_quant(w2)
+        return _qmm_fwd_impl(x2, None, q, s)
+
+    def fwd(x2, w2):
+        q, s = _col_quant(w2)
+        # Residuals keep the quantized weight (int8 + scales, half the bf16 bytes)
+        # for dgrad and the bf16 activations for wgrad.
+        return _qmm_fwd_impl(x2, None, q, s), (x2, q, s)
+
+    def bwd(res, dy):
+        x2, q, s = res
+        dx = _bwd_dx(q, s, dy, bwd_int8)
+        dw = jax.lax.dot_general(x2, dy, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        return dx, dw.astype(x2.dtype)
+
+    sb.defvjp(fwd, bwd)
+    return sb
+
+
+def switchback_einsum(eqn: str, x: jax.Array, w: jax.Array) -> jax.Array:
+    """Drop-in for ``jnp.einsum(eqn, x, w)`` with SwitchBack dynamic int8.
+
+    Unlike ``apply_quant_einsum`` this accepts any 2-operand contraction (the
+    contracted labels need not be trailing): operands are transposed/reshaped to a
+    single rank-2 dot *outside* the custom-vjp core, so autodiff routes the weight
+    cotangent back through the layout ops for free. The rank-2 form also sidesteps
+    the head-dim-72 lane padding that holds the SigLIP attention-projection einsums
+    at ~52% of MXU peak in bf16 (see PERF.md).
+    """
+    m = re.match(r"^([a-zA-Z]+),([a-zA-Z]+)->([a-zA-Z]+)$", eqn)
+    if not m:
+        raise ValueError(f"Unsupported einsum eqn: {eqn}")
+    lhs, rhs, out = m.groups()
+    contracted = [l for l in lhs if l in rhs]
+    batch = [l for l in lhs if l not in contracted]
+    w_other = [l for l in rhs if l not in contracted]
+    if set(out) != set(batch + w_other):
+        raise ValueError(f"Unsupported einsum eqn (batched/diagonal labels): {eqn}")
+
+    xperm = [lhs.index(l) for l in batch + contracted]
+    if xperm != list(range(len(lhs))):
+        x = jnp.transpose(x, xperm)
+    batch_shape = x.shape[: len(batch)]
+    x2 = x.reshape(int(np.prod(batch_shape)), -1)
+
+    wperm = [rhs.index(l) for l in contracted + w_other]
+    if wperm != list(range(len(rhs))):
+        w = jnp.transpose(w, wperm)
+    other_shape = w.shape[len(contracted) :]
+    w2 = w.reshape(-1, int(np.prod(other_shape)))
+
+    y2 = _make_switchback(_bwd_int8_enabled())(x2, w2.astype(x2.dtype))
+    y = y2.reshape(*batch_shape, *other_shape)
+    n_labels = "".join(batch + w_other)
+    if n_labels != out:
+        y = jnp.transpose(y, [n_labels.index(l) for l in out])
+    return y
 
 
 # --------------------------------------------------------------------------------------

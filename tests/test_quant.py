@@ -298,6 +298,101 @@ def test_quantize_frozen_tree_skips_trainable_and_small():
 
 
 # ---------------------------------------------------------------------------
+# SwitchBack dynamic int8 (trainable SigLIP matmuls, KAI0_INT8_SB=1)
+# ---------------------------------------------------------------------------
+
+# The six SigLIP trainable matmul sites (kai0_tpu/models/siglip.py).
+SB_EQN_CASES = [
+    ("btd,dnh->bnth", (2, 7, 32), (32, 4, 8)),  # q/k/v projection (head-major out)
+    ("bnth,nhd->btd", (2, 4, 7, 8), (4, 8, 32)),  # out projection (contracted not trailing)
+    ("btd,df->btf", (2, 7, 32), (32, 64)),  # MLP Dense_0
+    ("btf,fd->btd", (2, 7, 64), (64, 32)),  # MLP Dense_1
+    ("btd,dc->btc", (2, 7, 32), (32, 16)),  # head
+]
+
+
+@pytest.mark.parametrize("eqn,x_shape,w_shape", SB_EQN_CASES)
+def test_switchback_einsum_matches_bf16(eqn, x_shape, w_shape):
+    key = jax.random.key(13)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    ref = jnp.einsum(eqn, x, w)
+    got = quant.switchback_einsum(eqn, x, w)
+    assert got.shape == ref.shape
+    assert got.dtype == ref.dtype
+    rel = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))) / jnp.max(
+        jnp.abs(ref.astype(jnp.float32))
+    )
+    assert float(rel) < 0.05
+
+
+@pytest.mark.parametrize("eqn,x_shape,w_shape", SB_EQN_CASES)
+def test_switchback_grads_track_bf16(eqn, x_shape, w_shape):
+    """dx (int8 dgrad, straight-through) and dw (bf16 wgrad) must agree with the
+    bf16 einsum gradients in direction — SwitchBack's convergence-parity premise."""
+    key = jax.random.key(17)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    t = jax.random.normal(jax.random.fold_in(key, 3), jnp.einsum(eqn, x, w).shape, jnp.bfloat16)
+
+    def loss(f):
+        return lambda x, w: jnp.sum((f(x, w).astype(jnp.float32) - t.astype(jnp.float32)) ** 2)
+
+    gx_q, gw_q = jax.grad(loss(lambda x, w: quant.switchback_einsum(eqn, x, w)), argnums=(0, 1))(x, w)
+    gx_r, gw_r = jax.grad(loss(lambda x, w: jnp.einsum(eqn, x, w)), argnums=(0, 1))(x, w)
+    assert gx_q.dtype == x.dtype and gw_q.dtype == w.dtype
+    assert gw_q.shape == w.shape
+    for gq, gr in ((gx_q, gx_r), (gw_q, gw_r)):
+        a = np.asarray(gq, np.float32).ravel()
+        b = np.asarray(gr, np.float32).ravel()
+        cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.99, (eqn, cos)
+
+
+def test_switchback_zero_weight_is_exact():
+    """The SigLIP head kernel is zero-init: fwd must be exactly zero and grads
+    finite (the scale clamp must not divide by zero)."""
+    x = jax.random.normal(jax.random.key(19), (3, 5, 16), jnp.bfloat16)
+    w = jnp.zeros((16, 8), jnp.bfloat16)
+    y, vjp = jax.vjp(lambda x, w: quant.switchback_einsum("btd,dc->btc", x, w), x, w)
+    np.testing.assert_array_equal(np.asarray(y, np.float32), 0.0)
+    dx, dw = vjp(jnp.ones_like(y))
+    assert np.isfinite(np.asarray(dx, np.float32)).all()
+    assert np.isfinite(np.asarray(dw, np.float32)).all()
+    # wgrad through a zero weight is the plain bf16 product — non-zero
+    assert float(jnp.max(jnp.abs(dw.astype(jnp.float32)))) > 0
+
+
+def test_siglip_switchback_close_to_bf16(monkeypatch):
+    """KAI0_INT8_SB=1 routes every SigLIP matmul through SwitchBack; the encoded
+    tokens and a backward pass must track the bf16 tower."""
+    from kai0_tpu.models import siglip
+
+    config = siglip.get_config(num_classes=24, variant="mu/14", dtype_mm="bfloat16")
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        siglip.init(jax.random.key(0), config, (28, 28)),
+    )
+    # non-zero head so the comparison exercises the head matmul too
+    params["head"]["kernel"] = jax.random.normal(jax.random.key(1), params["head"]["kernel"].shape, jnp.bfloat16)
+    image = jax.random.uniform(jax.random.key(2), (2, 28, 28, 3), jnp.float32, -1, 1)
+
+    def loss(p):
+        return jnp.sum(siglip.apply(p, config, image).astype(jnp.float32) ** 2)
+
+    monkeypatch.setenv("KAI0_INT8_SB", "0")
+    ref, gref = jax.value_and_grad(loss)(params)
+    monkeypatch.setenv("KAI0_INT8_SB", "1")
+    got, ggot = jax.value_and_grad(loss)(params)
+    assert abs(float(got) - float(ref)) / abs(float(ref)) < 0.05
+    a = np.concatenate([np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(ggot)])
+    b = np.concatenate([np.asarray(x, np.float32).ravel() for x in jax.tree.leaves(gref)])
+    assert np.isfinite(a).all()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.98, cos
+
+
+# ---------------------------------------------------------------------------
 # Fused Pallas int8 matmul (kai0_tpu/ops/pallas_quant.py), interpret mode on CPU
 # ---------------------------------------------------------------------------
 
