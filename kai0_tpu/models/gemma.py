@@ -338,6 +338,10 @@ def _remat_policy():
         SigLIP blocks tag their attention outputs with the same name
         (siglip.py ``_encoder_block``), adding ~570 MB and skipping the ViT
         attention recompute too;
+      - ``attn+vitmlp``: ``attn`` plus the SigLIP MLP up-projection outputs
+        (tagged ``kai0_vit_mlp_up``, ~2.1 GB at batch 12) — the ViT backward
+        recompute skips its largest matmul. Gemma FFN outputs stay untagged:
+        the equivalent saves there are ~380 MB/layer and OOM immediately;
       - ``none``: no remat — fastest backward, activations fully resident (fits for
         LoRA fine-tunes / small batches).
     """
@@ -350,6 +354,8 @@ def _remat_policy():
         return jax.checkpoint_policies.dots_saveable
     if mode == "attn":
         return jax.checkpoint_policies.save_only_these_names("kai0_attn_out")
+    if mode == "attn+vitmlp":
+        return jax.checkpoint_policies.save_only_these_names("kai0_attn_out", "kai0_vit_mlp_up")
     return jax.checkpoint_policies.nothing_saveable
 
 

@@ -185,6 +185,12 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
 def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
     dtype = x.dtype
     x = _einsum("btd,df->btf", x, params["Dense_0"]["kernel"].astype(dtype), "mlp") + params["Dense_0"]["bias"].astype(dtype)
+    # KAI0_REMAT=attn+vitmlp saves this (~79 MB/layer at batch 12): the backward
+    # recompute then skips the up-projection matmul — the largest dot in the block
+    # (~30% of a SigLIP forward pass). Both wgrads stay exact: Dense_1's input is
+    # re-gelu'd from the saved tensor, Dense_0's input is the cheap LayerNorm
+    # recompute from the scan carry. No-op under other policies.
+    x = _checkpoint_name(x, "kai0_vit_mlp_up")
     x = jax.nn.gelu(x)
     return _einsum("btf,fd->btd", x, params["Dense_1"]["kernel"].astype(dtype), "mlp") + params["Dense_1"]["bias"].astype(dtype)
 

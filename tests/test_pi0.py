@@ -149,7 +149,8 @@ def test_remat_policies_agree_on_gradients(pi05_setup, monkeypatch):
         return np.asarray(loss), jax.tree.map(np.asarray, grads)
 
     results = {}
-    for mode in ("nothing", "attn", "dots", "none"):
+    modes = ("nothing", "attn", "attn+vitmlp", "dots", "none")
+    for mode in modes:
         monkeypatch.setenv("KAI0_REMAT", mode)
         jax.clear_caches()  # the policy is read from env at trace time
         results[mode] = loss_and_grad()
@@ -157,7 +158,7 @@ def test_remat_policies_agree_on_gradients(pi05_setup, monkeypatch):
     jax.clear_caches()
 
     ref_loss, ref_grads = results["nothing"]
-    for mode in ("attn", "dots", "none"):
+    for mode in modes[1:]:
         loss, grads = results[mode]
         np.testing.assert_allclose(loss, ref_loss, rtol=1e-6)
         jax.tree.map(
