@@ -108,13 +108,19 @@ def main():
         batch_size = 8 * n_chips
         fsdp = n_chips
     elif backend == "tpu":
+        import os
+
+        # KAI0_BENCH_TOKLEN overrides the text-token budget (default 200 → 968-token
+        # prefix with 3×256 image tokens). 256 pads the prefix to 1024 = 8×128
+        # sublane tiles — a probe for whether nicer MXU tiling beats the +5.8% FLOPs.
+        tok_len = int(os.environ.get("KAI0_BENCH_TOKLEN", "0")) or None
         model = _pi0.Pi0Config(
             pi05=True,
             paligemma_variant="gemma_2b_lora",
             action_expert_variant="gemma_300m_lora",
+            max_token_len=tok_len,
         )
         mode = "lora"
-        import os
         batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "12")) * n_chips
         fsdp = 1
         # Int8 frozen base is the documented fast path for single-chip LoRA
