@@ -28,6 +28,7 @@ bf16 MXU inputs (standard flash-attention precision).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -125,6 +126,7 @@ def _mqa_fwd_impl(q, k, v, mask, *, block_t: int):
             bytes_accessed=(q.size + k.size + v.size + b * t_pad * n * h) * itemsize + mask.size,
             transcendentals=b * t_pad * s_pad * n,
         ),
+        compiler_params=_mqa_compiler_params(block_t),
     )(q, k, v, mask)
     return out[:, :t], lse
 
@@ -244,6 +246,7 @@ def _mqa_bwd_impl(q, k, v, mask, out, lse, g, *, block_t: int):
             bytes_accessed=3 * (q.size + k.size + v.size) * itemsize + mask.size,
             transcendentals=b * t_pad * s_pad * n,
         ),
+        compiler_params=_mqa_compiler_params(block_t),
     )(q, k, v, mask, out, lse, g)
     return dq[:, :t], dk[:, :s].astype(k.dtype), dv[:, :s].astype(v.dtype)
 
@@ -262,8 +265,16 @@ def _normalize_mask(attn_mask: jax.Array, b: int, t: int, s: int) -> jax.Array:
 def _pick_block_t(t: int) -> int:
     # Backward VMEM per block: ~4 live [block_t·N, S_pad] f32 tensors. For the π₀
     # shapes (N=8, S≈1.1k) block_t=64 keeps that ≈8 MiB; short suffixes (denoise
-    # loop, T≈51) fit one block.
-    return 64
+    # loop, T≈51) fit one block. KAI0_FLASH_BLOCK_T is an A/B knob (128 doubles the
+    # per-cell matmul height at ~17 MiB scoped VMEM — the calls raise the Mosaic
+    # limit to 48 MiB when block_t > 64; v5e has 128 MiB).
+    return int(os.environ.get("KAI0_FLASH_BLOCK_T", "64"))
+
+
+def _mqa_compiler_params(block_t: int):
+    if block_t > 64:
+        return pltpu.CompilerParams(vmem_limit_bytes=48 * 2**20)
+    return None
 
 
 @jax.custom_vjp
