@@ -42,4 +42,26 @@ def _setup_compilation_cache() -> None:
         pass
 
 
+def _setup_platform_override() -> None:
+    """Honor ``KAI0_PLATFORM`` (e.g. ``cpu``) before the jax backend initializes.
+
+    Some deployments pin a platform via sitecustomize (``JAX_PLATFORMS`` set before
+    python starts), so the env var alone cannot re-select CPU; ``jax.config`` still
+    can, as long as no backend has been created yet. Lets CLI entry points run on
+    CPU (tests already force this via tests/conftest.py).
+    """
+    import os
+
+    platform = os.environ.get("KAI0_PLATFORM")
+    if not platform or os.environ.get("KAI0_DATA_WORKER") == "1":
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+    except Exception:  # noqa: BLE001 - best-effort, backend may already be live
+        pass
+
+
 _setup_compilation_cache()
+_setup_platform_override()

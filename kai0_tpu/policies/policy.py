@@ -16,6 +16,7 @@ doesn't pay the multi-minute jit cost (reference §3.2 note).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import pathlib
@@ -47,6 +48,7 @@ class Policy:
         output_transforms: Sequence[_transforms.DataTransformFn] = (),
         sample_kwargs: dict[str, Any] | None = None,
         metadata: dict[str, Any] | None = None,
+        prompt_buckets: Sequence[int] | None = None,
     ):
         self._model_config = model_config
         self._params = params
@@ -55,6 +57,13 @@ class Policy:
         self._sample_kwargs = sample_kwargs or {}
         self._metadata = metadata or {}
         self._rng = rng if rng is not None else jax.random.key(0)
+        # Prompt-length bucketing (TPU addition, flow-matching models only): the
+        # tokenizer right-pads to max_token_len, but positions are cumsum(mask)-1 and
+        # padding is masked out of attention, so trimming trailing padding to the
+        # smallest bucket >= the actual prompt length is numerically equivalent while
+        # shrinking the prefill sequence (968 -> 768+bucket tokens) and the KV cache
+        # every denoise step reads. One compiled program per bucket (jit shape cache).
+        self._prompt_buckets = tuple(sorted(prompt_buckets)) if prompt_buckets else None
 
         def sample(params, sample_rng, observation, **kwargs):
             return model_config.sample_actions(params, sample_rng, observation, **kwargs)
@@ -73,6 +82,11 @@ class Policy:
         # Copy: transforms may modify inputs in place.
         inputs = jax.tree.map(lambda x: x, obs)
         inputs = self._input_transform(inputs)
+        if self._prompt_buckets and "tokenized_prompt" in inputs and "token_ar_mask" not in inputs:
+            # FAST decode writes generated tokens past the prompt into an aligned
+            # cache, so bucketing applies only to the flow-matching models (no
+            # token_ar_mask), where trailing prompt padding is inert.
+            inputs = _trim_prompt_to_bucket(inputs, self._prompt_buckets)
         inputs = jax.tree.map(lambda x: jnp.asarray(x)[np.newaxis, ...], inputs)
         self._rng, sample_rng = jax.random.split(self._rng)
 
@@ -114,9 +128,41 @@ class Policy:
             observation = self._model_config.fake_obs(1)
             sample_kwargs = dict(self._sample_kwargs)
             self._sample_actions(self._params, jax.random.key(0), observation, **sample_kwargs)
+        if self._prompt_buckets:
+            # Compile every bucket's program up front so no client request pays a jit.
+            obs = self._model_config.fake_obs(1)
+            if obs.tokenized_prompt is not None and obs.token_ar_mask is None:
+                full = obs.tokenized_prompt.shape[-1]
+                for bucket in self._prompt_buckets:
+                    if bucket >= full:
+                        continue
+                    trimmed = dataclasses.replace(
+                        obs,
+                        tokenized_prompt=obs.tokenized_prompt[:, :bucket],
+                        tokenized_prompt_mask=obs.tokenized_prompt_mask[:, :bucket],
+                    )
+                    self._sample_actions(self._params, jax.random.key(0), trimmed, **dict(self._sample_kwargs))
         elapsed = time.monotonic() - start
         logger.info(f"Policy warmup took {elapsed:.1f}s")
         return elapsed
+
+
+def _trim_prompt_to_bucket(inputs: dict, buckets: tuple[int, ...]) -> dict:
+    """Trim trailing prompt padding to the smallest bucket >= the used length.
+
+    Host-side, pre-batching: operates on the unbatched numpy dict produced by the
+    input transform chain (tokenizer right-pads, so validity is a prefix).
+    """
+    mask = np.asarray(inputs["tokenized_prompt_mask"])
+    full = mask.shape[-1]
+    valid = np.flatnonzero(mask)
+    used = int(valid[-1]) + 1 if valid.size else 0
+    bucket = next((b for b in buckets if b >= used), full)
+    if bucket < full:
+        inputs = dict(inputs)
+        inputs["tokenized_prompt"] = np.asarray(inputs["tokenized_prompt"])[..., :bucket]
+        inputs["tokenized_prompt_mask"] = mask[..., :bucket]
+    return inputs
 
 
 class PolicyRecorder:

@@ -35,6 +35,7 @@ def create_trained_policy(
     norm_stats: dict | None = None,
     warmup: bool = False,
     quantize: bool = False,
+    prompt_buckets: list[int] | None = None,
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
@@ -78,6 +79,7 @@ def create_trained_policy(
         ],
         sample_kwargs=sample_kwargs,
         metadata=train_config.policy_metadata,
+        prompt_buckets=prompt_buckets,
     )
     if warmup:
         policy.warmup(_warmup_example(train_config))

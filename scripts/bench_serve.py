@@ -41,6 +41,13 @@ def main():
         "immediately (measures prefill); use --temperature 1 for full-length decode.",
     )
     ap.add_argument("--temperature", type=float, default=0.0)
+    ap.add_argument(
+        "--max_token_len",
+        type=int,
+        default=None,
+        help="override the config's padded prompt length — measures the latency-vs-"
+        "prompt-length curve that prompt bucketing (serve_policy.py --prompt-buckets) exploits",
+    )
     args = ap.parse_args()
 
     from kai0_tpu.models import pi0 as _pi0
@@ -51,6 +58,10 @@ def main():
         config = _pi0_fast.Pi0FASTConfig()
     else:
         config = _pi0.Pi0Config(pi05=True)
+    if args.max_token_len is not None:
+        import dataclasses
+
+        config = dataclasses.replace(config, max_token_len=args.max_token_len)
 
     @jax.jit
     def make_params(rng):

@@ -60,6 +60,15 @@ def parse_args(argv=None):
     parser.add_argument(
         "--int8", action="store_true", help="int8 gemma weights (~2x less HBM traffic; slight action drift)"
     )
+    parser.add_argument(
+        "--prompt-buckets",
+        "--prompt_buckets",
+        dest="prompt_buckets",
+        default=None,
+        help="comma-separated prompt-length buckets (e.g. '64,128'); trims trailing "
+        "prompt padding to the smallest bucket >= the tokenized length, shrinking the "
+        "prefill + KV cache (one compiled program per bucket; flow-matching models only)",
+    )
     parser.add_argument("--policy.config", dest="policy_config", default=None)
     parser.add_argument("--policy.dir", dest="policy_dir", default=None)
     return parser.parse_args(argv)
@@ -76,6 +85,7 @@ def create_policy(args) -> _policy.Policy:
         default_prompt=args.default_prompt,
         warmup=args.warmup,
         quantize=args.int8,
+        prompt_buckets=[int(b) for b in args.prompt_buckets.split(",")] if args.prompt_buckets else None,
     )
 
 

@@ -57,6 +57,52 @@ def test_policy_infer_deterministic_with_noise(debug_policy, debug_config):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_trim_prompt_to_bucket():
+    mask = np.zeros(48, bool)
+    mask[:10] = True
+    inputs = {"tokenized_prompt": np.arange(48, dtype=np.int32), "tokenized_prompt_mask": mask}
+    out = _policy._trim_prompt_to_bucket(dict(inputs), (16, 32))
+    assert out["tokenized_prompt"].shape == (16,)
+    assert out["tokenized_prompt_mask"].sum() == 10
+    # No bucket fits -> keep the full length.
+    mask40 = np.zeros(48, bool)
+    mask40[:40] = True
+    out = _policy._trim_prompt_to_bucket(
+        {"tokenized_prompt": np.arange(48, dtype=np.int32), "tokenized_prompt_mask": mask40}, (16, 32)
+    )
+    assert out["tokenized_prompt"].shape == (48,)
+    # Empty prompt -> smallest bucket.
+    out = _policy._trim_prompt_to_bucket(
+        {"tokenized_prompt": np.arange(48, dtype=np.int32), "tokenized_prompt_mask": np.zeros(48, bool)}, (16, 32)
+    )
+    assert out["tokenized_prompt"].shape == (16,)
+
+
+def test_prompt_bucketing_matches_unbucketed(debug_config):
+    """Trimming trailing prompt padding must not change the sampled actions."""
+    params = debug_config.init_params(jax.random.key(0))
+    mk = lambda buckets: _policy.Policy(  # noqa: E731
+        debug_config,
+        params,
+        transforms=[
+            AgilexInputs(action_dim=debug_config.action_dim, model_type=debug_config.model_type),
+            _transforms.ResizeImages(224, 224),
+            _transforms.TokenizePrompt(_tokenizer.PaligemmaTokenizer(debug_config.max_token_len)),
+            _transforms.PadStatesAndActions(debug_config.action_dim),
+        ],
+        output_transforms=[AgilexOutputs()],
+        sample_kwargs={"num_steps": 2},
+        prompt_buckets=buckets,
+    )
+    noise = np.zeros((debug_config.action_horizon, debug_config.action_dim), np.float32)
+    example = make_agilex_example()
+    full = mk(None).infer(example, noise=noise)["actions"]
+    bucketed = mk([16]).infer(example, noise=noise)["actions"]
+    np.testing.assert_allclose(full, bucketed, atol=1e-4)
+    # Warmup compiles every bucket without error.
+    mk([8, 16]).warmup()
+
+
 def test_policy_recorder(tmp_path, debug_policy):
     recorder = _policy.PolicyRecorder(debug_policy, str(tmp_path / "records"))
     recorder.infer(make_agilex_example())
