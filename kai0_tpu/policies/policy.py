@@ -30,6 +30,7 @@ import numpy as np
 
 from kai0_tpu import transforms as _transforms
 from kai0_tpu.models import model as _model
+from kai0_tpu.parallel import sharding as _sharding
 
 logger = logging.getLogger("kai0_tpu")
 
@@ -49,8 +50,15 @@ class Policy:
         sample_kwargs: dict[str, Any] | None = None,
         metadata: dict[str, Any] | None = None,
         prompt_buckets: Sequence[int] | None = None,
+        mesh: jax.sharding.Mesh | None = None,
     ):
         self._model_config = model_config
+        if mesh is not None:
+            # Multi-chip serving (TPU addition): FSDP-shard the params over the mesh
+            # and let GSPMD insert the collectives. Batch-1 sampling is HBM-bandwidth
+            # bound, so N chips stream the weights ~N× faster; activations stay
+            # replicated (batch 1 cannot be data-sharded).
+            params = jax.device_put(params, _sharding.fsdp_sharding(params, mesh))
         self._params = params
         self._input_transform = _transforms.compose(transforms)
         self._output_transform = _transforms.compose(output_transforms)

@@ -36,6 +36,7 @@ def create_trained_policy(
     warmup: bool = False,
     quantize: bool = False,
     prompt_buckets: list[int] | None = None,
+    fsdp_devices: int = 1,
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
@@ -80,10 +81,25 @@ def create_trained_policy(
         sample_kwargs=sample_kwargs,
         metadata=train_config.policy_metadata,
         prompt_buckets=prompt_buckets,
+        mesh=_serve_mesh(fsdp_devices),
     )
     if warmup:
         policy.warmup(_warmup_example(train_config))
     return policy
+
+
+def _serve_mesh(fsdp_devices: int):
+    """A (1, fsdp_devices) mesh over the first N devices for sharded serving, or None."""
+    if fsdp_devices <= 1:
+        return None
+    import jax
+
+    from kai0_tpu.parallel import sharding as _sharding
+
+    devices = jax.devices()
+    if len(devices) < fsdp_devices:
+        raise ValueError(f"--fsdp_devices={fsdp_devices} but only {len(devices)} devices are visible")
+    return _sharding.make_mesh(fsdp_devices, devices=devices[:fsdp_devices])
 
 
 def _warmup_example(train_config) -> dict | None:

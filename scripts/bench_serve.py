@@ -42,6 +42,12 @@ def main():
     )
     ap.add_argument("--temperature", type=float, default=0.0)
     ap.add_argument(
+        "--fsdp_devices",
+        type=int,
+        default=1,
+        help="FSDP-shard the params over the first N devices (multi-chip serving)",
+    )
+    ap.add_argument(
         "--max_token_len",
         type=int,
         default=None,
@@ -75,6 +81,11 @@ def main():
 
     params = make_params(jax.random.key(0))
     jax.block_until_ready(params)
+    if args.fsdp_devices > 1:
+        from kai0_tpu.parallel import sharding as _sharding
+
+        mesh = _sharding.make_mesh(args.fsdp_devices, devices=jax.devices()[: args.fsdp_devices])
+        params = jax.device_put(params, _sharding.fsdp_sharding(params, mesh))
     obs = config.fake_obs(args.batch)
 
     if args.model == "pi0_fast":

@@ -69,6 +69,15 @@ def parse_args(argv=None):
         "prompt padding to the smallest bucket >= the tokenized length, shrinking the "
         "prefill + KV cache (one compiled program per bucket; flow-matching models only)",
     )
+    parser.add_argument(
+        "--fsdp_devices",
+        "--fsdp-devices",
+        dest="fsdp_devices",
+        type=int,
+        default=1,
+        help="shard the model over the first N local devices for serving (batch-1 "
+        "sampling is HBM-bandwidth-bound: N chips stream the weights ~Nx faster)",
+    )
     parser.add_argument("--policy.config", dest="policy_config", default=None)
     parser.add_argument("--policy.dir", dest="policy_dir", default=None)
     return parser.parse_args(argv)
@@ -86,6 +95,7 @@ def create_policy(args) -> _policy.Policy:
         warmup=args.warmup,
         quantize=args.int8,
         prompt_buckets=[int(b) for b in args.prompt_buckets.split(",")] if args.prompt_buckets else None,
+        fsdp_devices=args.fsdp_devices,
     )
 
 

@@ -103,6 +103,33 @@ def test_prompt_bucketing_matches_unbucketed(debug_config):
     mk([8, 16]).warmup()
 
 
+def test_sharded_serving_matches_single_device(debug_config):
+    """FSDP-sharded params over the 8-device mesh must serve the same actions."""
+    from kai0_tpu.parallel import sharding as _sharding
+
+    params = debug_config.init_params(jax.random.key(0))
+    transforms = [
+        AgilexInputs(action_dim=debug_config.action_dim, model_type=debug_config.model_type),
+        _transforms.ResizeImages(224, 224),
+        _transforms.TokenizePrompt(_tokenizer.PaligemmaTokenizer(debug_config.max_token_len)),
+        _transforms.PadStatesAndActions(debug_config.action_dim),
+    ]
+    mk = lambda mesh: _policy.Policy(  # noqa: E731
+        debug_config,
+        params,
+        transforms=transforms,
+        output_transforms=[AgilexOutputs()],
+        sample_kwargs={"num_steps": 2},
+        mesh=mesh,
+    )
+    noise = np.zeros((debug_config.action_horizon, debug_config.action_dim), np.float32)
+    example = make_agilex_example()
+    single = mk(None).infer(example, noise=noise)["actions"]
+    mesh = _sharding.make_mesh(len(jax.devices()))
+    sharded = mk(mesh).infer(example, noise=noise)["actions"]
+    np.testing.assert_allclose(single, sharded, atol=1e-4)
+
+
 def test_policy_recorder(tmp_path, debug_policy):
     recorder = _policy.PolicyRecorder(debug_policy, str(tmp_path / "records"))
     recorder.infer(make_agilex_example())
