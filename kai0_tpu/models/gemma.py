@@ -341,7 +341,12 @@ def _remat_policy():
       - ``attn+vitmlp``: ``attn`` plus the SigLIP MLP up-projection outputs
         (tagged ``kai0_vit_mlp_up``, ~2.1 GB at batch 12) — the ViT backward
         recompute skips its largest matmul. Gemma FFN outputs stay untagged:
-        the equivalent saves there are ~380 MB/layer and OOM immediately;
+        the equivalent saves there are ~380 MB/layer and OOM immediately.
+        Measured OOM at int8 batch 12 (needs 16.4 of 15.75 GB) — for smaller
+        batches / bigger-HBM parts;
+      - ``vitmlp``: only the SigLIP up-projection saves — +0.65 GB net vs
+        ``attn`` (the attention saves are dropped), trading the attention
+        recompute skip for the ViT's largest-matmul skip;
       - ``none``: no remat — fastest backward, activations fully resident (fits for
         LoRA fine-tunes / small batches).
     """
@@ -356,6 +361,8 @@ def _remat_policy():
         return jax.checkpoint_policies.save_only_these_names("kai0_attn_out")
     if mode == "attn+vitmlp":
         return jax.checkpoint_policies.save_only_these_names("kai0_attn_out", "kai0_vit_mlp_up")
+    if mode == "vitmlp":
+        return jax.checkpoint_policies.save_only_these_names("kai0_vit_mlp_up")
     return jax.checkpoint_policies.nothing_saveable
 
 

@@ -149,7 +149,7 @@ def test_remat_policies_agree_on_gradients(pi05_setup, monkeypatch):
         return np.asarray(loss), jax.tree.map(np.asarray, grads)
 
     results = {}
-    modes = ("nothing", "attn", "attn+vitmlp", "dots", "none")
+    modes = ("nothing", "attn", "attn+vitmlp", "vitmlp", "dots", "none")
     for mode in modes:
         monkeypatch.setenv("KAI0_REMAT", mode)
         jax.clear_caches()  # the policy is read from env at trace time
