@@ -18,6 +18,7 @@ the model compute dtype (bf16), LayerNorms computed by upcasting to f32 internal
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import jax
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
@@ -213,17 +214,33 @@ def _encoder_block(block_params: dict, x: jax.Array, num_heads: int) -> jax.Arra
 
 def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
     """Encode ``[B, H, W, 3]`` images in [-1, 1] to patch tokens ``[B, N, num_classes]``."""
-    # Patch extraction + posemb in f32 (reference siglip.py:211-229).
+    # Patch extraction + posemb in f32 (reference siglip.py:211-229). The stride-14
+    # patch "conv" is non-overlapping, so it is exactly an im2col reshape + one
+    # [B·N, ph·pw·3] × [ph·pw·3, D] f32 matmul (KAI0_VIT_CONV=im2col). Measured
+    # end-to-end the dot spelling is NOT faster (10.42 vs 10.44 samples/s at
+    # batch 12 — the conv's xprof self-time overlaps in the schedule), so the
+    # conv lowering stays default; the knob remains for other shapes/generations.
     image = jnp.asarray(image, jnp.float32)
-    x = jax.lax.conv_general_dilated(
-        image,
-        params["embedding"]["kernel"].astype(jnp.float32),
-        window_strides=config.patch_size,
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    ) + params["embedding"]["bias"].astype(jnp.float32)
-    n, h, w, c = x.shape
-    x = x.reshape(n, h * w, c)
+    kernel = params["embedding"]["kernel"].astype(jnp.float32)  # [ph, pw, 3, D] (HWIO)
+    ph, pw = config.patch_size
+    if os.environ.get("KAI0_VIT_CONV", "conv") == "conv":
+        x = jax.lax.conv_general_dilated(
+            image,
+            kernel,
+            window_strides=config.patch_size,
+            padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + params["embedding"]["bias"].astype(jnp.float32)
+        n, h, w, c = x.shape
+        x = x.reshape(n, h * w, c)
+    else:
+        n, hh, ww, cc = image.shape
+        gh, gw = hh // ph, ww // pw
+        patches = image.reshape(n, gh, ph, gw, pw, cc)
+        patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(n, gh * gw, ph * pw * cc)
+        x = jnp.dot(patches, kernel.reshape(ph * pw * cc, -1)) + params["embedding"][
+            "bias"
+        ].astype(jnp.float32)
     x = x + params["pos_embedding"]
 
     # Encoder in the model compute dtype, scanning stacked blocks with remat.

@@ -181,3 +181,23 @@ def test_sample_actions_consistent_with_velocity_steps(pi0_setup):
     kv, pmask = _pi0.compute_prefix_kv_cache(params, config, processed)
     v = _pi0.compute_velocity(params, config, processed, kv, pmask, noise, jnp.asarray(1.0))
     np.testing.assert_allclose(np.asarray(sampled), np.asarray(noise - v), atol=1e-5)
+
+
+def test_siglip_patchify_matches_conv(monkeypatch):
+    """The im2col patch-embedding knob equals the default conv lowering.
+
+    Non-overlapping stride-14 patches make the conv exactly one f32 matmul.
+    The dot spelling measured within noise end-to-end (PERF.md) so conv stays
+    default; the knob must stay numerically interchangeable.
+    """
+    from kai0_tpu.models import siglip as _siglip
+
+    config = _siglip.get_config(8, "mu/14", dtype_mm="float32")
+    params = _siglip.init(jax.random.key(0), config, (28, 28))
+    image = jax.random.uniform(jax.random.key(1), (2, 28, 28, 3), minval=-1, maxval=1)
+
+    ref = np.asarray(_siglip.apply(params, config, image))
+    monkeypatch.setenv("KAI0_VIT_CONV", "im2col")
+    jax.clear_caches()
+    got = np.asarray(_siglip.apply(params, config, image))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
