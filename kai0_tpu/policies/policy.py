@@ -119,6 +119,79 @@ class Policy:
         outputs["policy_timing"] = {"infer_ms": model_time * 1000}
         return outputs
 
+    def infer_batch(
+        self,
+        obs_list: Sequence[dict],
+        *,
+        noise: np.ndarray | None = None,
+        pad_to: int | None = None,
+    ) -> list[dict]:
+        """Run one batched ``sample_actions`` over several observations.
+
+        TPU addition (no reference counterpart): batch-1 serving is HBM-bandwidth
+        bound — the 3B weight stream costs the same whether it serves 1 or 8
+        robots — so coalescing concurrent requests into one device batch
+        multiplies multi-client throughput at near-constant latency (PERF.md).
+        ``pad_to`` pads the device batch by repeating row 0 (padding outputs are
+        discarded) so callers can quantize batch sizes to a few compiled programs;
+        RTC kwargs are not supported here (the server dispatches RTC requests solo).
+        """
+        if not obs_list:
+            return []
+        for obs in obs_list:
+            for key in ("prev_action_chunk", "inference_delay", "execute_horizon"):
+                if key in obs:
+                    raise ValueError(f"infer_batch does not support RTC kwarg {key!r}; dispatch solo")
+
+        inputs_list = [self._input_transform(jax.tree.map(lambda x: x, obs)) for obs in obs_list]
+        if (
+            self._prompt_buckets
+            and all("tokenized_prompt" in i and "token_ar_mask" not in i for i in inputs_list)
+        ):
+            # One common bucket for the whole batch: the largest any member needs.
+            used = max(_used_prompt_len(i) for i in inputs_list)
+            full = inputs_list[0]["tokenized_prompt_mask"].shape[-1]
+            bucket = next((b for b in self._prompt_buckets if b >= used), full)
+            if bucket < full:
+                inputs_list = [
+                    {
+                        **i,
+                        "tokenized_prompt": np.asarray(i["tokenized_prompt"])[..., :bucket],
+                        "tokenized_prompt_mask": np.asarray(i["tokenized_prompt_mask"])[..., :bucket],
+                    }
+                    for i in inputs_list
+                ]
+        n = len(inputs_list)
+        m = max(pad_to, n) if pad_to else n
+        batch = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs] + [jnp.asarray(xs[0])] * (m - n)),
+            *inputs_list,
+        )
+
+        self._rng, sample_rng = jax.random.split(self._rng)
+        sample_kwargs = dict(self._sample_kwargs)
+        if noise is not None:
+            noise = jnp.asarray(noise)
+            if noise.ndim == 2:
+                noise = jnp.broadcast_to(noise, (m, *noise.shape))
+            elif noise.shape[0] != m:
+                noise = jnp.concatenate([noise, jnp.broadcast_to(noise[:1], (m - noise.shape[0], *noise.shape[1:]))])
+            sample_kwargs["noise"] = noise
+
+        observation = _model.Observation.from_dict(batch)
+        start_time = time.monotonic()
+        actions = self._sample_actions(self._params, sample_rng, observation, **sample_kwargs)
+        stacked = {"state": batch["state"], "actions": actions}
+        stacked = jax.tree.map(np.asarray, stacked)
+        model_time = time.monotonic() - start_time
+
+        results = []
+        for i in range(n):
+            outputs = self._output_transform(jax.tree.map(lambda x: x[i], stacked))
+            outputs["policy_timing"] = {"infer_ms": model_time * 1000, "batch_size": n}
+            results.append(outputs)
+        return results
+
     def reset(self) -> None:
         pass
 
@@ -155,6 +228,12 @@ class Policy:
         return elapsed
 
 
+def _used_prompt_len(inputs: dict) -> int:
+    """Number of leading valid prompt tokens (tokenizer right-pads)."""
+    valid = np.flatnonzero(np.asarray(inputs["tokenized_prompt_mask"]))
+    return int(valid[-1]) + 1 if valid.size else 0
+
+
 def _trim_prompt_to_bucket(inputs: dict, buckets: tuple[int, ...]) -> dict:
     """Trim trailing prompt padding to the smallest bucket >= the used length.
 
@@ -163,9 +242,7 @@ def _trim_prompt_to_bucket(inputs: dict, buckets: tuple[int, ...]) -> dict:
     """
     mask = np.asarray(inputs["tokenized_prompt_mask"])
     full = mask.shape[-1]
-    valid = np.flatnonzero(mask)
-    used = int(valid[-1]) + 1 if valid.size else 0
-    bucket = next((b for b in buckets if b >= used), full)
+    bucket = next((b for b in buckets if b >= _used_prompt_len(inputs)), full)
     if bucket < full:
         inputs = dict(inputs)
         inputs["tokenized_prompt"] = np.asarray(inputs["tokenized_prompt"])[..., :bucket]

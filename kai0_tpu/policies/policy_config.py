@@ -37,6 +37,8 @@ def create_trained_policy(
     quantize: bool = False,
     prompt_buckets: list[int] | None = None,
     fsdp_devices: int = 1,
+    max_batch: int = 1,
+    batch_wait_ms: float = 0.0,
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
@@ -83,6 +85,11 @@ def create_trained_policy(
         prompt_buckets=prompt_buckets,
         mesh=_serve_mesh(fsdp_devices),
     )
+    if max_batch > 1:
+        # Coalesce concurrent requests into one device batch (multi-robot serving).
+        from kai0_tpu.serving import batching as _batching
+
+        policy = _batching.BatchingPolicy(policy, max_batch, wait_ms=batch_wait_ms)
     if warmup:
         policy.warmup(_warmup_example(train_config))
     return policy

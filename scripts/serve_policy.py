@@ -70,6 +70,25 @@ def parse_args(argv=None):
         "prefill + KV cache (one compiled program per bucket; flow-matching models only)",
     )
     parser.add_argument(
+        "--max_batch",
+        "--max-batch",
+        dest="max_batch",
+        type=int,
+        default=1,
+        help="coalesce up to N concurrent client requests into one device batch "
+        "(multi-robot serving; batch-1 sampling is bandwidth-bound so batching is "
+        "nearly free — see PERF.md). Batch sizes pad to power-of-two buckets.",
+    )
+    parser.add_argument(
+        "--batch_wait_ms",
+        "--batch-wait-ms",
+        dest="batch_wait_ms",
+        type=float,
+        default=0.0,
+        help="hold the first request of a batch up to this long so concurrent "
+        "clients join it (0 = only coalesce what is already queued)",
+    )
+    parser.add_argument(
         "--fsdp_devices",
         "--fsdp-devices",
         dest="fsdp_devices",
@@ -96,6 +115,8 @@ def create_policy(args) -> _policy.Policy:
         quantize=args.int8,
         prompt_buckets=[int(b) for b in args.prompt_buckets.split(",")] if args.prompt_buckets else None,
         fsdp_devices=args.fsdp_devices,
+        max_batch=args.max_batch,
+        batch_wait_ms=args.batch_wait_ms,
     )
 
 

@@ -57,6 +57,55 @@ def test_policy_infer_deterministic_with_noise(debug_policy, debug_config):
     np.testing.assert_allclose(a, b, atol=1e-5)
 
 
+def test_infer_batch_matches_single(debug_policy, debug_config):
+    """One batched sample_actions equals per-request sampling (fixed noise)."""
+    noise = np.zeros((debug_config.action_horizon, debug_config.action_dim), np.float32)
+    ex_a = make_agilex_example()
+    ex_b = make_agilex_example()
+    ex_b["state"] = np.linspace(-1.0, 1.0, 14).astype(np.float32)
+    singles = [debug_policy.infer(ex, noise=noise)["actions"] for ex in (ex_a, ex_b)]
+    batched = debug_policy.infer_batch([ex_a, ex_b], noise=noise)
+    assert batched[0]["policy_timing"]["batch_size"] == 2
+    for single, out in zip(singles, batched):
+        np.testing.assert_allclose(out["actions"], single, atol=1e-4)
+    # Padding to a bucket must not change results and must return only n outputs.
+    padded = debug_policy.infer_batch([ex_a, ex_b], noise=noise, pad_to=4)
+    assert len(padded) == 2
+    for single, out in zip(singles, padded):
+        np.testing.assert_allclose(out["actions"], single, atol=1e-4)
+
+
+def test_infer_batch_rejects_rtc_kwargs(debug_policy):
+    ex = make_agilex_example()
+    ex["prev_action_chunk"] = np.zeros((50, 32), np.float32)
+    with pytest.raises(ValueError, match="RTC"):
+        debug_policy.infer_batch([ex])
+
+
+def test_infer_batch_with_prompt_buckets(debug_config):
+    """Batched inference trims the whole group to one common prompt bucket."""
+    params = debug_config.init_params(jax.random.key(0))
+    mk = lambda buckets: _policy.Policy(  # noqa: E731
+        debug_config,
+        params,
+        transforms=[
+            AgilexInputs(action_dim=debug_config.action_dim, model_type=debug_config.model_type),
+            _transforms.ResizeImages(224, 224),
+            _transforms.TokenizePrompt(_tokenizer.PaligemmaTokenizer(debug_config.max_token_len)),
+            _transforms.PadStatesAndActions(debug_config.action_dim),
+        ],
+        output_transforms=[AgilexOutputs()],
+        sample_kwargs={"num_steps": 2},
+        prompt_buckets=buckets,
+    )
+    noise = np.zeros((debug_config.action_horizon, debug_config.action_dim), np.float32)
+    ex = make_agilex_example()
+    full = mk(None).infer_batch([ex, ex], noise=noise)
+    bucketed = mk([16]).infer_batch([ex, ex], noise=noise)
+    for f, b in zip(full, bucketed):
+        np.testing.assert_allclose(f["actions"], b["actions"], atol=1e-4)
+
+
 def test_trim_prompt_to_bucket():
     mask = np.zeros(48, bool)
     mask[:10] = True

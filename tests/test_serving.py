@@ -89,6 +89,120 @@ def test_websocket_server_client_roundtrip():
 
 
 # ---------------------------------------------------------------------------
+# Request coalescing (kai0_tpu/serving/batching.py)
+# ---------------------------------------------------------------------------
+
+
+class _BatchRecordingPolicy:
+    """Stub policy that records how requests were dispatched."""
+
+    def __init__(self, delay_s: float = 0.0):
+        self.delay_s = delay_s
+        self.solo_calls = 0
+        self.batch_calls = []  # (n, pad_to)
+        self.metadata = {"stub": True}
+        self.model_config = None
+
+    def infer(self, obs: dict) -> dict:
+        time.sleep(self.delay_s)
+        self.solo_calls += 1
+        return {"actions": np.asarray(obs["state"]) * 2.0}
+
+    def infer_batch(self, obs_list, *, noise=None, pad_to=None) -> list[dict]:
+        time.sleep(self.delay_s)
+        self.batch_calls.append((len(obs_list), pad_to))
+        return [{"actions": np.asarray(obs["state"]) * 2.0} for obs in obs_list]
+
+    def reset(self) -> None:
+        pass
+
+    def warmup(self, example=None) -> float:
+        return 0.0
+
+
+def test_batching_policy_coalesces_concurrent_requests():
+    from kai0_tpu.serving.batching import BatchingPolicy
+
+    inner = _BatchRecordingPolicy(delay_s=0.05)
+    batcher = BatchingPolicy(inner, max_batch=4, wait_ms=50)
+    try:
+        states = [np.full(3, i, np.float32) for i in range(6)]
+        results = [None] * 6
+
+        def call(i):
+            results[i] = batcher.infer({"state": states[i]})
+
+        threads = [threading.Thread(target=call, args=(i,)) for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
+        for i in range(6):
+            np.testing.assert_allclose(results[i]["actions"], states[i] * 2.0)
+        # 6 concurrent requests with a 50 ms window must coalesce: at least one
+        # multi-request dispatch, and nothing exceeding max_batch.
+        assert inner.batch_calls, f"no batched dispatch (sizes: {batcher.batch_sizes})"
+        assert all(n <= 4 for n in batcher.batch_sizes)
+        assert sum(batcher.batch_sizes) == 6
+        # pad_to is the power-of-two bucket >= n.
+        for n, pad_to in inner.batch_calls:
+            assert pad_to >= n and (pad_to & (pad_to - 1)) == 0
+    finally:
+        batcher.close()
+
+
+def test_batching_policy_rtc_bypass_and_errors():
+    from kai0_tpu.serving.batching import BatchingPolicy
+
+    inner = _BatchRecordingPolicy()
+    batcher = BatchingPolicy(inner, max_batch=4)
+    try:
+        out = batcher.infer({"state": np.ones(3, np.float32), "prev_action_chunk": np.zeros((5, 3))})
+        np.testing.assert_allclose(out["actions"], 2.0)
+        assert inner.solo_calls == 1 and not batcher.batch_sizes  # bypassed the queue
+
+        # Errors inside a dispatch propagate to the waiting caller.
+        def boom(obs):
+            raise RuntimeError("boom")
+
+        inner.infer = boom
+        with pytest.raises(RuntimeError, match="boom"):
+            batcher.infer({"state": np.ones(3, np.float32)})
+    finally:
+        batcher.close()
+
+
+def test_websocket_server_with_batching_policy():
+    """Concurrent clients through the real server get correct per-client actions."""
+    from kai0_tpu.serving.batching import BatchingPolicy
+
+    inner = _BatchRecordingPolicy(delay_s=0.02)
+    batcher = BatchingPolicy(inner, max_batch=4, wait_ms=20)
+    server = WebsocketPolicyServer(batcher, host="127.0.0.1", port=18474, metadata={"stub": True})
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    time.sleep(0.3)
+
+    results = [None] * 4
+
+    def call(i):
+        client = WebsocketClientPolicy(host="127.0.0.1", port=18474, retry_interval_s=0.2)
+        for _ in range(3):
+            results[i] = client.infer({"state": np.full(3, i, np.float32)})
+        client.close()
+
+    threads = [threading.Thread(target=call, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in range(4):
+        np.testing.assert_allclose(results[i]["actions"], np.full(3, i) * 2.0)
+    batcher.close()
+
+
+# ---------------------------------------------------------------------------
 # Client runtime loop (kai0_client/runtime): episode pacing + subscriber protocol
 # ---------------------------------------------------------------------------
 
