@@ -289,7 +289,34 @@ def _row_chunked(f, x, width: int, extra=None):
     return ys.reshape(m, *ys.shape[2:])
 
 
+def weight_only_enabled() -> bool:
+    """Weight-only int8 (``KAI0_INT8_WO=1``): int8 weights stream at half the HBM
+    bytes but dequantize *into* the matmul (bf16 multiply, f32 accumulate, column
+    scale on the output) instead of row-quantizing activations for an int8×int8
+    dot. Serving-oriented: drops the dynamic abs-max/round passes over the
+    activations (which grow with batch — xprof: ~36 ms/chunk at serve batch 4,
+    PERF.md) and removes activation rounding error entirely; gives up the int8
+    MXU rate, which only matters on the compute-bound training path."""
+    return env_flag("KAI0_INT8_WO", "0")
+
+
 def _qmm_fwd_impl(x, add, q, s):
+    if weight_only_enabled():
+
+        def wo_chunk(xc, *addc):
+            # |q| <= 127 is exact in bf16; s stays f32 on the f32 dot output.
+            yf = (
+                jax.lax.dot_general(
+                    xc, q.astype(xc.dtype), (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+                )
+                * s
+            )
+            if addc:
+                yf = yf + addc[0].astype(jnp.float32)
+            return yf.astype(xc.dtype)
+
+        return _row_chunked(wo_chunk, x, max(q.shape), extra=add)
+
     if _pallas_enabled():
         from kai0_tpu.ops import pallas_quant
 

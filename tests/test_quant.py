@@ -48,6 +48,52 @@ def test_apply_quant_einsum_matches_bf16(eqn, x_shape, w_shape):
     assert float(rel) < 0.03
 
 
+@pytest.mark.parametrize("eqn,x_shape,w_shape", EQN_CASES)
+def test_weight_only_matches_dequantized_einsum(eqn, x_shape, w_shape, monkeypatch):
+    """KAI0_INT8_WO=1: y = x @ dequantize(w) with NO activation rounding.
+
+    In f32 the weight-only path is the einsum against the exactly dequantized
+    weight up to reduction order — far tighter than the dynamic-activation
+    path's 3% budget (its activations are rounded to 8 bits per row).
+    """
+    key = jax.random.key(11)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.float32)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.float32)
+    qa = quant.quantize_einsum_weight(w, eqn)
+    ref = _einsum_ref(eqn, x, quant.dequantize(qa))
+    monkeypatch.setenv("KAI0_INT8_WO", "1")
+    jax.clear_caches()
+    got = quant.apply_quant_einsum(qa, eqn, x)
+    if eqn.split(",")[1][0].isdigit():
+        parts = quant.apply_quant_split(qa, x)
+        for i, part in enumerate(parts):
+            np.testing.assert_allclose(np.asarray(part), np.asarray(got[i]), rtol=1e-5, atol=1e-5)
+    monkeypatch.delenv("KAI0_INT8_WO")
+    jax.clear_caches()
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_weight_only_bf16_tracks_dequantized(monkeypatch):
+    """bf16 weight-only stays within accumulated weight-rounding noise of the
+    bf16-dequantized einsum (the two round w = q*s at different points)."""
+    eqn, x_shape, w_shape = EQN_CASES[0]
+    key = jax.random.key(12)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    qa = quant.quantize_einsum_weight(w, eqn)
+    ref = _einsum_ref(eqn, x, quant.dequantize(qa))
+    monkeypatch.setenv("KAI0_INT8_WO", "1")
+    jax.clear_caches()
+    got = quant.apply_quant_einsum(qa, eqn, x)
+    monkeypatch.delenv("KAI0_INT8_WO")
+    jax.clear_caches()
+    rel = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))) / jnp.max(
+        jnp.abs(ref.astype(jnp.float32))
+    )
+    assert float(rel) < 0.02
+
+
 @pytest.mark.parametrize(
     "eqn,x_shape,w_shape",
     [case for case in EQN_CASES if case[0].split(",")[1][0].isdigit()],
