@@ -162,10 +162,17 @@ def main():
         # Compile the multi-step program, then measure it.
         state, info = multi_step(n_steps, rng, state, batch)
         _ = float(info["loss"])
+        import os as _os
+
+        trace_dir = _os.environ.get("KAI0_BENCH_TRACE")
+        if trace_dir:  # xprof capture of the measured program (see PERF.md recipe)
+            jax.profiler.start_trace(trace_dir)
         t0 = time.time()
         state, info = multi_step(n_steps, rng, state, batch)
         _ = float(info["loss"])  # full pipeline drain
         elapsed = time.time() - t0
+        if trace_dir:
+            jax.profiler.stop_trace()
 
     samples_per_sec_per_chip = batch_size * n_steps / elapsed / n_chips
     result = {

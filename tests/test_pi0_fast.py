@@ -47,6 +47,29 @@ def test_fast_loss_shapes(fast_setup):
     assert np.all(loss > 0)  # CE on random params ≈ log(vocab)
 
 
+def test_fast_batched_decode_matches_single(fast_setup):
+    """Batched decode equals per-row decode (multi-robot serving coalesces FAST
+    requests too; the EOS early-exit loop runs until ALL rows finish, and the
+    extra iterations must not perturb rows that finished earlier)."""
+    config, params = fast_setup
+    obs = config.fake_obs(2)
+    # Distinct rows so the two decodes genuinely differ.
+    obs = jax.tree.map(
+        lambda x: x
+        if not hasattr(x, "dtype") or not jnp.issubdtype(x.dtype, jnp.floating)
+        else x + 0.1 * jax.random.normal(jax.random.key(5), x.shape, x.dtype),
+        obs,
+    )
+    row = lambda o, i: jax.tree.map(lambda x: x[i : i + 1] if hasattr(x, "shape") else x, o)  # noqa: E731
+    batched = _pi0_fast.sample_actions(params, config, jax.random.key(1), obs, max_decoding_steps=8)
+    singles = [
+        _pi0_fast.sample_actions(params, config, jax.random.key(1), row(obs, i), max_decoding_steps=8)
+        for i in range(2)
+    ]
+    np.testing.assert_array_equal(np.asarray(batched[0]), np.asarray(singles[0][0]))
+    np.testing.assert_array_equal(np.asarray(batched[1]), np.asarray(singles[1][0]))
+
+
 def test_fast_decode(fast_setup):
     config, params = fast_setup
     obs = config.fake_obs(1)
