@@ -30,14 +30,23 @@ from kai0_tpu.ops import quant as _quant
 from kai0_tpu.parallel import sharding as _sharding
 
 
-def _einsum(eqn: str, x: jax.Array, w: jax.Array, site: str) -> jax.Array:
-    """Trainable matmul site: bf16 einsum, or SwitchBack dynamic int8 under
-    ``KAI0_INT8_SB`` (the SigLIP tower trains even in LoRA mode — reference
-    freeze filter only matches ``.*llm.*`` — so these cannot use the static
-    frozen-weight quantization that covers the Gemma sites)."""
+def _einsum(eqn: str, x: jax.Array, w, site: str) -> jax.Array:
+    """Matmul site: bf16 einsum; a frozen int8 ``QuantArray`` at inference
+    (``quantize_inference_tree`` — serving only, the tower is never frozen in
+    training); or SwitchBack dynamic int8 under ``KAI0_INT8_SB`` (the tower
+    trains even in LoRA mode — reference freeze filter only matches ``.*llm.*``
+    — so training cannot use the static frozen-weight quantization that covers
+    the Gemma sites)."""
+    if _quant.is_quant(w):
+        return _quant.apply_quant_einsum(w, eqn, x)
     if _quant.switchback_enabled(site):
         return _quant.switchback_einsum(eqn, x, w)
     return jnp.einsum(eqn, x, w)
+
+
+def _cast(w, dtype):
+    """Cast a weight to the compute dtype; QuantArrays carry their own scales."""
+    return w if _quant.is_quant(w) else w.astype(dtype)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,20 +181,27 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
     (no transposes between projection and attention).
     """
     dtype = x.dtype
-    q = _einsum("btd,dnh->bnth", x, params["query"]["kernel"].astype(dtype), "attn") + params["query"]["bias"].astype(dtype)[None, :, None, :]
-    k = _einsum("bsd,dnh->bnsh", x, params["key"]["kernel"].astype(dtype), "attn") + params["key"]["bias"].astype(dtype)[None, :, None, :]
-    v = _einsum("bsd,dnh->bnsh", x, params["value"]["kernel"].astype(dtype), "attn") + params["value"]["bias"].astype(dtype)[None, :, None, :]
+    # k/v reuse the query eqn string (labels are positional) so one QuantArray
+    # layout covers all three projections.
+    q = _einsum("btd,dnh->bnth", x, _cast(params["query"]["kernel"], dtype), "attn") + params["query"]["bias"].astype(dtype)[None, :, None, :]
+    k = _einsum("btd,dnh->bnth", x, _cast(params["key"]["kernel"], dtype), "attn") + params["key"]["bias"].astype(dtype)[None, :, None, :]
+    v = _einsum("btd,dnh->bnth", x, _cast(params["value"]["kernel"], dtype), "attn") + params["value"]["bias"].astype(dtype)[None, :, None, :]
     head_dim = q.shape[-1]
     # Python-float scale keeps q weakly typed (an np scalar would upcast bf16→f32).
     encoded = _attention.mhsa_dense_hm(q * float(1.0 / np.sqrt(head_dim)), k, v)
-    return _einsum("bnth,nhd->btd", encoded, params["out"]["kernel"].astype(dtype), "attn") + params["out"]["bias"].astype(
-        dtype
-    )
+    w_out = params["out"]["kernel"]
+    if _quant.is_quant(w_out):
+        # Quantized rank-2 layout needs trailing contracted labels: feed the
+        # [B,T,N,H] view (one transpose; the bf16 path stays head-major).
+        proj = _quant.apply_quant_einsum(w_out, "btnh,nhd->btd", jnp.swapaxes(encoded, 1, 2))
+    else:
+        proj = _einsum("bnth,nhd->btd", encoded, w_out.astype(dtype), "attn")
+    return proj + params["out"]["bias"].astype(dtype)
 
 
 def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
     dtype = x.dtype
-    x = _einsum("btd,df->btf", x, params["Dense_0"]["kernel"].astype(dtype), "mlp") + params["Dense_0"]["bias"].astype(dtype)
+    x = _einsum("btd,df->btf", x, _cast(params["Dense_0"]["kernel"], dtype), "mlp") + params["Dense_0"]["bias"].astype(dtype)
     # KAI0_REMAT=attn+vitmlp saves this (~79 MB/layer at batch 12): the backward
     # recompute then skips the up-projection matmul — the largest dot in the block
     # (~30% of a SigLIP forward pass). Both wgrads stay exact: Dense_1's input is
@@ -193,7 +209,7 @@ def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
     # recompute from the scan carry. No-op under other policies.
     x = _checkpoint_name(x, "kai0_vit_mlp_up")
     x = jax.nn.gelu(x)
-    return _einsum("btf,fd->btd", x, params["Dense_1"]["kernel"].astype(dtype), "mlp") + params["Dense_1"]["bias"].astype(dtype)
+    return _einsum("btf,fd->btd", x, _cast(params["Dense_1"]["kernel"], dtype), "mlp") + params["Dense_1"]["bias"].astype(dtype)
 
 
 def _encoder_block(block_params: dict, x: jax.Array, num_heads: int) -> jax.Array:
@@ -260,5 +276,5 @@ def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
 
     if config.num_classes:
         dtype = x.dtype
-        x = _einsum("btd,dc->btc", x, params["head"]["kernel"].astype(dtype), "head") + params["head"]["bias"].astype(dtype)
+        x = _einsum("btd,dc->btc", x, _cast(params["head"]["kernel"], dtype), "head") + params["head"]["bias"].astype(dtype)
     return x

@@ -517,22 +517,37 @@ def switchback_einsum(eqn: str, x: jax.Array, w: jax.Array) -> jax.Array:
 # Tree-level transform: quantize the frozen matmul weights of a params tree
 # --------------------------------------------------------------------------------------
 
-# path-suffix regex -> einsum eqn used at the call site (gemma.py / lora.py apply paths).
-# All live under params["layers"] with a leading scan depth axis (stacked=True).
-_GEMMA_QUANT_SITES: tuple[tuple[re.Pattern, str], ...] = (
-    (re.compile(r"attn/qkv_einsum(_\d+)?/w$"), "BSD,3KDH->3BSKH"),
-    (re.compile(r"attn/q_einsum(_\d+)?/w$"), "BTD,NDH->BTNH"),
-    (re.compile(r"attn/kv_einsum(_\d+)?/w$"), "BSD,2KDH->2BSKH"),
-    (re.compile(r"attn/attn_vec_einsum(_\d+)?/w$"), "BTNH,NHD->BTD"),
-    (re.compile(r"mlp(_\d+)?/gating_einsum$"), "BTD,2DF->2BTF"),
-    (re.compile(r"mlp(_\d+)?/linear$"), "BTF,FD->BTD"),
+# path-suffix regex -> (einsum eqn used at the call site, stacked over a leading
+# scan depth axis). Gemma sites (gemma.py / lora.py apply paths) all live under
+# params["layers"] with a depth axis.
+_GEMMA_QUANT_SITES: tuple[tuple[re.Pattern, str, bool], ...] = (
+    (re.compile(r"attn/qkv_einsum(_\d+)?/w$"), "BSD,3KDH->3BSKH", True),
+    (re.compile(r"attn/q_einsum(_\d+)?/w$"), "BTD,NDH->BTNH", True),
+    (re.compile(r"attn/kv_einsum(_\d+)?/w$"), "BSD,2KDH->2BSKH", True),
+    (re.compile(r"attn/attn_vec_einsum(_\d+)?/w$"), "BTNH,NHD->BTD", True),
+    (re.compile(r"mlp(_\d+)?/gating_einsum$"), "BTD,2DF->2BTF", True),
+    (re.compile(r"mlp(_\d+)?/linear$"), "BTF,FD->BTD", True),
+)
+
+# SigLIP tower matmul sites (siglip.py apply paths). Only used by the inference
+# quantizer: the tower *trains* in every reference fine-tune mode (freeze filter
+# matches .*llm.* only), so the training path never converts these. k/v share the
+# query eqn (labels are positional); the out-projection eqn is the transposed
+# [B,T,N,H] form because the quantized rank-2 layout needs trailing contracted
+# labels — siglip._mhsa feeds it a swapaxes view when the weight is quantized.
+_SIGLIP_QUANT_SITES: tuple[tuple[re.Pattern, str, bool], ...] = (
+    (re.compile(r"img/Transformer/encoderblock/MultiHeadDotProductAttention_0/(query|key|value)/kernel$"), "btd,dnh->bnth", True),
+    (re.compile(r"img/Transformer/encoderblock/MultiHeadDotProductAttention_0/out/kernel$"), "btnh,nhd->btd", True),
+    (re.compile(r"img/Transformer/encoderblock/MlpBlock_0/Dense_0/kernel$"), "btd,df->btf", True),
+    (re.compile(r"img/Transformer/encoderblock/MlpBlock_0/Dense_1/kernel$"), "btf,fd->btd", True),
+    (re.compile(r"img/head/kernel$"), "btd,dc->btc", False),
 )
 
 
-def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str], ...]:
-    """Quant sites filtered by KAI0_INT8_SITES (comma-separated substrings of the
-    site patterns; a leading ``-`` excludes, e.g. ``-gating`` keeps the FFN gate/up
-    projections in bf16; ``all`` — the default — selects everything)."""
+def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str, bool], ...]:
+    """Gemma quant sites filtered by KAI0_INT8_SITES (comma-separated substrings of
+    the site patterns; a leading ``-`` excludes, e.g. ``-gating`` keeps the FFN
+    gate/up projections in bf16; ``all`` — the default — selects everything)."""
     spec = os.environ.get("KAI0_INT8_SITES", default_spec)
     if not spec or spec == "all":
         return _GEMMA_QUANT_SITES
@@ -540,30 +555,51 @@ def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str], ..
     neg = [k[1:] for k in keys if k.startswith("-")]
     pos = [k for k in keys if not k.startswith("-")]
     return tuple(
-        (p, e)
-        for (p, e) in _GEMMA_QUANT_SITES
+        (p, e, st)
+        for (p, e, st) in _GEMMA_QUANT_SITES
         if (not pos or any(k in p.pattern for k in pos)) and not any(k in p.pattern for k in neg)
     )
 
 
-def quantize_frozen_tree(params: dict, trainable_mask: dict) -> dict:
-    """Replace frozen gemma matmul weights with ``QuantArray`` leaves.
+def _siglip_inference_sites() -> tuple[tuple[re.Pattern, str, bool], ...]:
+    """SigLIP quant sites for inference, selected by ``KAI0_INT8_SIGLIP``
+    (``0``/``1``/``all`` or a comma list of ``attn``, ``mlp``, ``head``).
+
+    Default OFF — measured a net loss on v5e serving (batch 4, --int8: 80.9 ms
+    gemma-only vs 81.7 all-sites vs 84.9 mlp-only, PERF.md): at the tower's
+    K=1152/4304 shapes the dynamic activation row-quant passes (plus the
+    head-major transposes on the attention projections) cost more than the
+    2x int8 MXU rate returns — the same economics that sank SwitchBack for the
+    *training* tower. Kept env-gated for bigger vision variants/batches."""
+    spec = os.environ.get("KAI0_INT8_SIGLIP", "0")
+    if spec.lower() in ("0", "false", "off", "no", ""):
+        return ()
+    if spec.lower() in ("1", "true", "on", "yes", "all"):
+        return _SIGLIP_QUANT_SITES
+    words = {"attn": "Attention", "mlp": "Mlp", "head": "head/kernel"}
+    want = [words.get(k, k) for k in spec.split(",")]
+    return tuple(s for s in _SIGLIP_QUANT_SITES if any(w in s[0].pattern for w in want))
+
+
+def quantize_frozen_tree(params: dict, trainable_mask: dict, sites=None) -> dict:
+    """Replace frozen matmul weights with ``QuantArray`` leaves.
 
     Only leaves whose mask entry is False and whose path matches a known matmul call
     site are converted; everything else (norms, embedder, LoRA factors, any trainable
-    tower such as SigLIP) is untouched.
+    tower such as SigLIP) is untouched. ``sites`` defaults to the gemma call sites
+    (the trainable-LoRA fine-tune configuration).
     """
     from kai0_tpu.transforms import flatten_dict, unflatten_dict
 
     flat = flatten_dict(params)
     flat_mask = flatten_dict(trainable_mask)
-    sites = _active_sites()
+    sites = _active_sites() if sites is None else sites
     out = {}
     for key, value in flat.items():
         if not flat_mask.get(key, True) and hasattr(value, "ndim"):
-            for pattern, eqn in sites:
+            for pattern, eqn, stacked in sites:
                 if pattern.search(key):
-                    out[key] = quantize_einsum_weight(value, eqn, stacked=True)
+                    out[key] = quantize_einsum_weight(value, eqn, stacked=stacked)
                     break
             else:
                 out[key] = value
@@ -573,15 +609,20 @@ def quantize_frozen_tree(params: dict, trainable_mask: dict) -> dict:
 
 
 def quantize_inference_tree(params: dict) -> dict:
-    """Quantize every gemma matmul site for inference (whole model frozen).
+    """Quantize the gemma matmul sites for inference (whole model frozen).
 
     Serving at batch 1 is HBM-bandwidth-bound: the int8 weights halve the bytes
     streamed per matmul, which is the dominant cost of the 968-token prefix pass
     and the 10-step denoise loop. Opt-in (``serve_policy.py --int8``) because it
     perturbs actions beyond the 1e-3 bf16 parity tolerance.
+
+    ``KAI0_INT8_SIGLIP`` additionally quantizes the (inference-frozen) SigLIP
+    tower — measured slower on v5e at serve shapes, so off by default (see
+    ``_siglip_inference_sites``).
     """
     all_frozen = jax.tree.map(lambda _: False, params)
-    return quantize_frozen_tree(params, all_frozen)
+    sites = _active_sites() + _siglip_inference_sites()
+    return quantize_frozen_tree(params, all_frozen, sites=sites)
 
 
 def dequantize_tree(params: dict) -> dict:

@@ -230,6 +230,60 @@ def test_quantized_inference_sampling_close_to_bf16():
     assert cos > 0.99
 
 
+def test_quantize_inference_tree_covers_siglip_sites(monkeypatch):
+    """--int8 serving quantizes the SigLIP tower too (it is frozen at inference;
+    batched serving is compute-bound on its 3-image prefill, PERF.md). The tower
+    output must stay close to bf16, and KAI0_INT8_SIGLIP=0 must restore the
+    gemma-only behavior."""
+    from kai0_tpu.models import siglip as _siglip
+    from kai0_tpu.transforms import flatten_dict
+
+    config = _siglip.get_config(num_classes=24, variant="mu/14", dtype_mm="bfloat16")
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16) if p.dtype == jnp.float32 else p,
+        _siglip.init(jax.random.key(3), config, (28, 28)),
+    )
+    # zero-init head would make the output trivially zero — give it real weights
+    params["head"]["kernel"] = 0.02 * jax.random.normal(jax.random.key(4), params["head"]["kernel"].shape, jnp.bfloat16)
+    image = jax.random.uniform(jax.random.key(5), (2, 28, 28, 3), jnp.float32, -1, 1)
+    ref = _siglip.apply(params, config, image)
+
+    qtree = quant.quantize_frozen_tree(
+        {"img": params}, {"img": jax.tree.map(lambda _: False, params)}, sites=quant._SIGLIP_QUANT_SITES
+    )["img"]
+    flat = flatten_dict({"img": qtree})
+    quant_keys = [k for k, v in flat.items() if quant.is_quant(v)]
+    assert any("query/kernel" in k for k in quant_keys)
+    assert any("out/kernel" in k for k in quant_keys)
+    assert any("Dense_0" in k and "Dense_1" not in k for k in quant_keys)
+    assert any("head/kernel" in k for k in quant_keys)
+    assert not any("bias" in k or "embedding" in k or "LayerNorm" in k for k in quant_keys)
+    # encoderblock weights keep the leading depth axis; head is unstacked
+    qk = next(v for k, v in flat.items() if "query/kernel" in k)
+    assert qk.q.ndim == 3
+    hk = next(v for k, v in flat.items() if "head/kernel" in k)
+    assert hk.q.ndim == 2
+
+    got = _siglip.apply(qtree, config, image)
+    r = np.asarray(ref, np.float32).ravel()
+    g = np.asarray(got, np.float32).ravel()
+    assert np.isfinite(g).all()
+    cos = np.dot(r, g) / (np.linalg.norm(r) * np.linalg.norm(g) + 1e-9)
+    assert cos > 0.99
+
+    # dequantize restores the exact checkpoint layout
+    deq = quant.dequantize_tree(qtree)
+    assert not quant.has_quant(deq)
+    assert deq["head"]["kernel"].shape == params["head"]["kernel"].shape
+    assert deq["head"]["kernel"].dtype == params["head"]["kernel"].dtype
+
+    monkeypatch.setenv("KAI0_INT8_SIGLIP", "0")
+    assert quant._siglip_inference_sites() == ()
+    monkeypatch.setenv("KAI0_INT8_SIGLIP", "mlp,head")
+    pats = [p.pattern for p, _, _ in quant._siglip_inference_sites()]
+    assert all("Attention" not in p for p in pats) and len(pats) == 3
+
+
 def test_quantized_inference_pi0_fast_decodes():
     """π₀-FAST shares the gemma apply paths/param naming, so --int8 covers its
     autoregressive decode too (kv-cache prefill + while-loop decode)."""
