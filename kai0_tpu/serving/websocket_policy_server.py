@@ -1,34 +1,98 @@
 """Websocket action-chunk policy server.
 
-Wire protocol (parity: reference ``src/openpi/serving/websocket_policy_server.py``):
-on connect the server sends one msgpack metadata frame; then each received msgpack
-observation is answered with a msgpack action frame carrying
-``server_timing.infer_ms`` (and ``prev_total_ms`` covering the previous full
-round-trip including send). Unexpected errors send the traceback as a text frame and
-close with INTERNAL_ERROR. ``GET /healthz`` answers 200.
+Wire protocol (parity: reference ``src/openpi/serving/websocket_policy_server.py``
+— the protocol is the contract, the code is not): on connect the server sends one
+msgpack metadata frame; each received msgpack observation is answered with one
+msgpack action frame whose ``server_timing`` dict carries ``infer_ms`` and, from
+the second reply on, ``prev_total_ms`` (the previous full recv→send round-trip —
+only a *finished* iteration can include its own send time). On an unexpected
+error the traceback is sent as a text frame and the socket closes with
+INTERNAL_ERROR. ``GET /healthz`` answers 200 for load-balancer probes.
 
-TPU-native addition: the policy can be warmed up (pre-jitted) before the listener
-starts, so the first client request is served at steady-state latency instead of
-paying the XLA compile (multi-minute on the 3B model).
+TPU-native notes: inference runs on a worker thread, never on the event loop —
+a first-call XLA compile can take minutes and must not starve keepalive pings;
+callers should warm the policy before the listener starts (scripts/serve_policy.py
+``--warmup``) so the first request is served at steady-state latency.
 """
 
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import http
 import logging
 import time
 import traceback
 
-import websockets.asyncio.server as _server
+import websockets.asyncio.server
+import websockets.exceptions
 import websockets.frames
 
 from kai0_client import msgpack_numpy
 
 logger = logging.getLogger("kai0_tpu")
 
+_CLOSE_ON_ERROR = (
+    websockets.frames.CloseCode.INTERNAL_ERROR,
+    "Internal server error. Traceback included in previous frame.",
+)
+
+
+@dataclasses.dataclass
+class _Session:
+    """One client connection: greet, then answer observations forever."""
+
+    socket: websockets.asyncio.server.ServerConnection
+    policy: object
+    metadata: dict
+    _pack: msgpack_numpy.Packer = dataclasses.field(default_factory=msgpack_numpy.Packer)
+    _last_roundtrip_s: float | None = None
+
+    async def greet(self) -> None:
+        await self.socket.send(self._pack.pack(self.metadata))
+
+    async def answer_one(self) -> None:
+        t_recv = time.monotonic()
+        request = msgpack_numpy.unpackb(await self.socket.recv())
+
+        loop = asyncio.get_running_loop()
+        t_infer = time.monotonic()
+        reply = await loop.run_in_executor(None, self.policy.infer, request)
+        timing = {"infer_ms": (time.monotonic() - t_infer) * 1000}
+
+        if self._last_roundtrip_s is not None:
+            timing["prev_total_ms"] = self._last_roundtrip_s * 1000
+        reply["server_timing"] = timing
+
+        await self.socket.send(self._pack.pack(reply))
+        self._last_roundtrip_s = time.monotonic() - t_recv
+
+
+async def _run_session(session: _Session) -> None:
+    peer = session.socket.remote_address
+    logger.info(f"Connection from {peer} opened")
+    try:
+        await session.greet()
+        while True:
+            await session.answer_one()
+    except websockets.exceptions.ConnectionClosed:
+        logger.info(f"Connection from {peer} closed")
+    except Exception:
+        # Contract: ship the traceback to the client, then close abnormally.
+        await session.socket.send(traceback.format_exc())
+        await session.socket.close(*_CLOSE_ON_ERROR)
+        raise
+
+
+def _respond_to_probe(connection, request):
+    if request.path == "/healthz":
+        return connection.respond(http.HTTPStatus.OK, "OK\n")
+    return None  # fall through to the websocket handshake
+
 
 class WebsocketPolicyServer:
+    """Serve ``policy.infer`` over the msgpack/websocket action-chunk protocol."""
+
     def __init__(
         self,
         policy,
@@ -45,57 +109,17 @@ class WebsocketPolicyServer:
     def serve_forever(self) -> None:
         asyncio.run(self.run())
 
-    async def run(self):
-        async with _server.serve(
-            self._handler,
+    async def run(self) -> None:
+        async def handler(socket):
+            await _run_session(_Session(socket, self._policy, self._metadata))
+
+        listener = websockets.asyncio.server.serve(
+            handler,
             self._host,
             self._port,
-            compression=None,
+            compression=None,  # images are already jpeg/raw uint8; zlib only adds latency
             max_size=None,
-            process_request=_health_check,
-        ) as server:
+            process_request=_respond_to_probe,
+        )
+        async with listener as server:
             await server.serve_forever()
-
-    async def _handler(self, websocket: _server.ServerConnection):
-        logger.info(f"Connection from {websocket.remote_address} opened")
-        packer = msgpack_numpy.Packer()
-
-        await websocket.send(packer.pack(self._metadata))
-
-        prev_total_time = None
-        while True:
-            try:
-                start_time = time.monotonic()
-                obs = msgpack_numpy.unpackb(await websocket.recv())
-
-                infer_time = time.monotonic()
-                # Run inference off the event loop: a long infer (first-call XLA
-                # compile can take minutes) must not block keepalive pings.
-                action = await asyncio.get_running_loop().run_in_executor(
-                    None, self._policy.infer, obs
-                )
-                infer_time = time.monotonic() - infer_time
-
-                action["server_timing"] = {"infer_ms": infer_time * 1000}
-                if prev_total_time is not None:
-                    # Only the previous round-trip can include its send time.
-                    action["server_timing"]["prev_total_ms"] = prev_total_time * 1000
-
-                await websocket.send(packer.pack(action))
-                prev_total_time = time.monotonic() - start_time
-            except websockets.ConnectionClosed:
-                logger.info(f"Connection from {websocket.remote_address} closed")
-                break
-            except Exception:
-                await websocket.send(traceback.format_exc())
-                await websocket.close(
-                    code=websockets.frames.CloseCode.INTERNAL_ERROR,
-                    reason="Internal server error. Traceback included in previous frame.",
-                )
-                raise
-
-
-def _health_check(connection: _server.ServerConnection, request: _server.Request) -> _server.Response | None:
-    if request.path == "/healthz":
-        return connection.respond(http.HTTPStatus.OK, "OK\n")
-    return None

@@ -1,17 +1,35 @@
-"""Optimizer and LR-schedule configs (optax).
+"""Learning-rate schedules and optimizers.
 
-Parity: reference ``src/openpi/training/optimizer.py`` — cosine decay with warmup
-(warmup 1k → peak 2.5e-5 → 2.5e-6 @ 30k), rsqrt decay, AdamW (b2=0.95, eps=1e-8,
-weight_decay=1e-10, global-norm clip 1.0), SGD.
+Semantics parity with reference ``src/openpi/training/optimizer.py`` (the numbers
+are the contract, not the code): linear-warmup cosine decay (1k warmup → peak
+2.5e-5 → 2.5e-6 at 30k), warmup + inverse-sqrt decay, AdamW with b2=0.95,
+weight_decay=1e-10 and a global-norm clip of 1.0, plain SGD.
+
+Schedules here are written as explicit step functions (pure jnp) rather than
+through optax's schedule builders; optimizers are assembled from optax
+primitives (``scale_by_adam`` + ``add_decayed_weights`` + lr scaling), which is
+the decomposed form of AdamW. ``tests/test_optimizer.py`` pins both against
+their optax-builder equivalents.
+
+Dataclass/field names are public config surface (referenced by
+``training/config.py`` and the named robot configs) and must stay stable; all
+call sites instantiate by keyword.
 """
 
 from __future__ import annotations
 
-import dataclasses
+from dataclasses import dataclass
 from typing import Protocol, runtime_checkable
 
 import jax.numpy as jnp
 import optax
+
+
+def _warmup(step, peak: float, steps: int):
+    """The reference's warmup ramp: peak/(steps+1) at step 0, peak at ``steps``."""
+    f = jnp.clip(step / max(steps, 1), 0.0, 1.0)
+    lo = peak / (steps + 1)
+    return lo + f * (peak - lo)
 
 
 @runtime_checkable
@@ -19,82 +37,98 @@ class LRScheduleConfig(Protocol):
     def create(self) -> optax.Schedule: ...
 
 
-@dataclasses.dataclass(frozen=True)
-class CosineDecaySchedule(LRScheduleConfig):
-    """Cosine decay schedule with warmup."""
-
-    warmup_steps: int = 1_000
-    peak_lr: float = 2.5e-5
-    decay_steps: int = 30_000
-    decay_lr: float = 2.5e-6
-
-    def create(self) -> optax.Schedule:
-        return optax.warmup_cosine_decay_schedule(
-            init_value=self.peak_lr / (self.warmup_steps + 1),
-            peak_value=self.peak_lr,
-            warmup_steps=self.warmup_steps,
-            decay_steps=self.decay_steps,
-            end_value=self.decay_lr,
-        )
-
-
-@dataclasses.dataclass(frozen=True)
-class RsqrtDecaySchedule(LRScheduleConfig):
-    """Inverse square root decay schedule with warmup."""
-
-    warmup_steps: int = 1_000
-    peak_lr: float = 5e-5
-    timescale: float = 10_000
-
-    def create(self) -> optax.Schedule:
-        return optax.join_schedules(
-            [
-                optax.linear_schedule(
-                    init_value=self.peak_lr / (self.warmup_steps + 1),
-                    end_value=self.peak_lr,
-                    transition_steps=self.warmup_steps,
-                ),
-                lambda step: self.peak_lr / jnp.sqrt((self.timescale + step) / self.timescale),
-            ],
-            [self.warmup_steps],
-        )
-
-
 @runtime_checkable
 class OptimizerConfig(Protocol):
     def create(self, lr, weight_decay_mask=None) -> optax.GradientTransformation: ...
 
 
-@dataclasses.dataclass(frozen=True)
-class AdamW(OptimizerConfig):
+@dataclass(frozen=True)
+class CosineDecaySchedule:
+    """Linear warmup to ``peak_lr``, then half-cosine down to ``decay_lr``.
+
+    The cosine phase spans steps [warmup_steps, decay_steps] and holds
+    ``decay_lr`` afterwards.
+    """
+
+    peak_lr: float = 2.5e-5
+    decay_lr: float = 2.5e-6
+    warmup_steps: int = 1000
+    decay_steps: int = 30000
+
+    def create(self) -> optax.Schedule:
+        span = max(self.decay_steps - self.warmup_steps, 1)
+        lo, hi = self.decay_lr, self.peak_lr
+
+        def at_step(step):
+            t = jnp.clip((step - self.warmup_steps) / span, 0.0, 1.0)
+            cos = lo + (hi - lo) * 0.5 * (1 + jnp.cos(jnp.pi * t))
+            return jnp.where(
+                step < self.warmup_steps, _warmup(step, hi, self.warmup_steps), cos
+            )
+
+        return at_step
+
+
+@dataclass(frozen=True)
+class RsqrtDecaySchedule:
+    """Linear warmup, then peak_lr · sqrt(timescale / (timescale + step − warmup))."""
+
+    peak_lr: float = 5e-5
+    warmup_steps: int = 1000
+    timescale: float = 10000
+
+    def create(self) -> optax.Schedule:
+        def at_step(step):
+            since = jnp.maximum(step - self.warmup_steps, 0)
+            decay = self.peak_lr * jnp.sqrt(self.timescale / (self.timescale + since))
+            return jnp.where(
+                step < self.warmup_steps,
+                _warmup(step, self.peak_lr, self.warmup_steps),
+                decay,
+            )
+
+        return at_step
+
+
+@dataclass(frozen=True)
+class AdamW:
+    """Global-norm-clipped AdamW, built from optax primitives.
+
+    ``weight_decay`` defaults to the reference's negligible-but-nonzero 1e-10
+    (kept for exact update-rule parity; see its OOM-workaround note).
+    """
+
     b1: float = 0.9
     b2: float = 0.95
     eps: float = 1e-8
-    # The reference keeps a negligible non-zero weight decay (an OOM workaround there);
-    # value preserved for exact parity of the update rule.
     weight_decay: float = 1e-10
     clip_gradient_norm: float = 1.0
 
     def create(self, lr, weight_decay_mask=None) -> optax.GradientTransformation:
-        tx = optax.adamw(
-            lr, b1=self.b1, b2=self.b2, eps=self.eps, weight_decay=self.weight_decay, mask=weight_decay_mask
+        return optax.chain(
+            optax.clip_by_global_norm(self.clip_gradient_norm),
+            optax.scale_by_adam(b1=self.b1, b2=self.b2, eps=self.eps),
+            optax.add_decayed_weights(self.weight_decay, mask=weight_decay_mask),
+            optax.scale_by_learning_rate(lr),  # includes the sign flip
         )
-        return optax.chain(optax.clip_by_global_norm(self.clip_gradient_norm), tx)
 
 
-@dataclasses.dataclass(frozen=True)
-class SGD(OptimizerConfig):
+@dataclass(frozen=True)
+class SGD:
     lr: float = 5e-5
     momentum: float = 0.9
     nesterov: bool = False
 
     def create(self, lr, weight_decay_mask=None) -> optax.GradientTransformation:
-        assert weight_decay_mask is None, "Weight decay is not supported for SGD"
-        return optax.sgd(lr, momentum=self.momentum, nesterov=self.nesterov)
+        if weight_decay_mask is not None:
+            raise ValueError("SGD does not support a weight-decay mask")
+        return optax.chain(
+            optax.trace(decay=self.momentum, nesterov=self.nesterov),
+            optax.scale_by_learning_rate(lr),
+        )
 
 
 def create_optimizer(
     optimizer: OptimizerConfig, lr_schedule: LRScheduleConfig, weight_decay_mask=None
 ) -> optax.GradientTransformation:
-    lr = lr_schedule.create()
-    return optimizer.create(lr, weight_decay_mask=weight_decay_mask)
+    return optimizer.create(lr_schedule.create(), weight_decay_mask=weight_decay_mask)

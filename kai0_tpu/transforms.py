@@ -1,21 +1,17 @@
 """Data-transform library: the contract between datasets, training, and serving.
 
-Behavioral parity with reference ``src/openpi/transforms.py`` (the exact normalize /
-delta / pad / tokenize semantics define the "actions match within 1e-3" fidelity
-surface):
-
-- ``Group``/``compose`` (:39-76), ``RepackTransform`` (:79-101),
-- ``InjectDefaultPrompt`` (:105-111), ``InsertAdvantageIntoPrompt`` (:113-121),
-- ``Normalize``/``Unnormalize`` z-score ``(x-mean)/(std+1e-6)`` and quantile
-  ``(x-q01)/(q99-q01+1e-6)*2-1`` (:124-191),
-- ``ResizeImages`` (:194-201), ``SubsampleActions`` (:204-210),
-- ``DeltaActions``/``AbsoluteActions`` mask-selected relative actions (:213-254),
-- ``TokenizePrompt`` (:279-298), ``TokenizeFASTInputs``/``ExtractFASTActions``
-  (:301-338), ``PromptFromLeRobotTask`` (:341-356), ``PadStatesAndActions`` (:359-369),
-- helpers ``flatten_dict``/``unflatten_dict``/``transform_dict``/``apply_tree``/
-  ``pad_to_dim``/``make_bool_mask`` (:372-484).
+Behavioral parity with reference ``src/openpi/transforms.py`` (the exact
+normalize / delta / pad / tokenize semantics define the "actions match within
+1e-3" fidelity surface); the implementation is this repo's own. Layout: the
+'/'-path dict toolkit first (everything else builds on it), then the transform
+protocol and the transforms grouped by concern (prompt → normalization →
+action-space → tokenization → shape).
 
 All transforms operate on unbatched nested dicts of numpy arrays (CPU side).
+Reference anchors for the semantics: Group/compose :39-76, Repack :79-101,
+prompts :105-121, Normalize/Unnormalize :124-191, delta/absolute :213-254,
+tokenize :279-338, PromptFromLeRobotTask :341-356, pad :359-369, helpers
+:372-484.
 """
 
 from __future__ import annotations
@@ -36,6 +32,108 @@ T = TypeVar("T")
 S = TypeVar("S")
 
 
+# --------------------------------------------------------------------------------------
+# '/'-path dict toolkit
+# --------------------------------------------------------------------------------------
+
+
+def flatten_dict(tree: dict, sep: str = "/") -> dict:
+    """Nested dict → {'a/b/c': leaf}, preserving insertion order."""
+    flat: dict = {}
+
+    def walk(node: dict, prefix: str) -> None:
+        for key, value in node.items():
+            path = f"{prefix}{sep}{key}" if prefix else str(key)
+            if isinstance(value, dict):
+                walk(value, path)
+            else:
+                flat[path] = value
+
+    walk(tree, "")
+    return flat
+
+
+def unflatten_dict(tree: dict, sep: str = "/") -> dict:
+    """{'a/b/c': leaf} → nested dict. Inverse of :func:`flatten_dict`."""
+    nested: dict = {}
+    for path, leaf in tree.items():
+        *branches, last = path.split(sep)
+        node = nested
+        for b in branches:
+            node = node.setdefault(b, {})
+        node[last] = leaf
+    return nested
+
+
+def _map_structure(fn: Callable, structure):
+    if not isinstance(structure, dict):
+        return fn(structure)
+    return {k: _map_structure(fn, v) for k, v in structure.items()}
+
+
+def transform_dict(patterns: Mapping[str, str | None], tree: dict) -> dict:
+    """Rename/remove keys of a nested dict using ordered full-match regex patterns.
+
+    Keys are flattened '/'-paths. The first matching pattern wins; its value is
+    the replacement (backreferences allowed) or ``None`` to drop the key.
+    Non-matching keys pass through. Raises if two keys land on the same output
+    name or if an output leaf aliases an output subtree.
+    Parity: reference transforms.py:382-433.
+    """
+    rules = [(re.compile(pat), repl) for pat, repl in patterns.items()]
+
+    renamed: dict = {}
+    for path, leaf in flatten_dict(tree).items():
+        target: str | None = path
+        for rx, repl in rules:
+            if rx.fullmatch(path):
+                target = None if repl is None else rx.sub(repl, path, count=1)
+                break
+        if target is None:
+            continue
+        if target in renamed:
+            raise ValueError(f"Key '{target}' already exists in output")
+        renamed[target] = leaf
+
+    ordered = sorted(renamed)
+    for shorter, longer in zip(ordered, ordered[1:]):
+        if longer.startswith(shorter + "/"):
+            raise ValueError(f"Leaf '{shorter}' aliases a node of '{longer}'")
+    return unflatten_dict(renamed)
+
+
+def apply_tree(tree: dict, selector: dict, fn: Callable[[T, S], T], *, strict: bool = False) -> dict:
+    """Apply ``fn(leaf, selector_leaf)`` wherever ``selector`` has a matching path."""
+    flat, sel = flatten_dict(tree), flatten_dict(selector)
+    if strict and (missing := [k for k in sel if k not in flat]):
+        raise ValueError(f"Selector key {missing[0]} not found in tree")
+    return unflatten_dict({k: fn(v, sel[k]) if k in sel else v for k, v in flat.items()})
+
+
+def pad_to_dim(x: np.ndarray, target_dim: int, axis: int = -1, value: float = 0.0) -> np.ndarray:
+    """Pad ``x`` with ``value`` along ``axis`` up to ``target_dim`` (no-op if already there)."""
+    x = np.asarray(x)
+    missing = target_dim - x.shape[axis]
+    if missing <= 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis % x.ndim] = (0, missing)
+    return np.pad(x, widths, constant_values=value)
+
+
+def make_bool_mask(*dims: int) -> tuple[bool, ...]:
+    """``make_bool_mask(2, -2, 2) == (True, True, False, False, True, True)``."""
+    out: list[bool] = []
+    for d in dims:
+        out += [d > 0] * abs(d)
+    return tuple(out)
+
+
+# --------------------------------------------------------------------------------------
+# Transform protocol + composition
+# --------------------------------------------------------------------------------------
+
+
 @runtime_checkable
 class DataTransformFn(Protocol):
     def __call__(self, data: DataDict) -> DataDict: ...
@@ -43,13 +141,13 @@ class DataTransformFn(Protocol):
 
 @dataclasses.dataclass(frozen=True)
 class Group:
-    """A group of transforms applied around the model (inputs before, outputs after)."""
+    """Transforms applied around the model: ``inputs`` before, ``outputs`` after."""
 
     inputs: Sequence[DataTransformFn] = ()
     outputs: Sequence[DataTransformFn] = ()
 
     def push(self, *, inputs: Sequence[DataTransformFn] = (), outputs: Sequence[DataTransformFn] = ()) -> "Group":
-        """Append ``inputs`` to the end of input transforms and ``outputs`` to the beginning of output transforms."""
+        """New group with ``inputs`` appended (inner side) and ``outputs`` prepended (inner side)."""
         return Group(inputs=(*self.inputs, *inputs), outputs=(*outputs, *self.outputs))
 
 
@@ -58,8 +156,8 @@ class CompositeTransform(DataTransformFn):
     transforms: Sequence[DataTransformFn]
 
     def __call__(self, data: DataDict) -> DataDict:
-        for transform in self.transforms:
-            data = transform(data)
+        for step in self.transforms:
+            data = step(data)
         return data
 
 
@@ -69,17 +167,25 @@ def compose(transforms: Sequence[DataTransformFn]) -> DataTransformFn:
 
 @dataclasses.dataclass(frozen=True)
 class RepackTransform(DataTransformFn):
-    """Repacks a flat input dictionary into a new structure.
+    """Rebuild the dict in a new shape: ``structure`` leaves name '/'-paths into the old dict.
 
-    ``structure`` maps new keys to flattened '/'-separated paths into the old dict:
     ``{"images": {"cam_high": "observation.images.top"}, "state": "observation.state"}``
     """
 
     structure: dict
 
     def __call__(self, data: DataDict) -> DataDict:
-        flat_item = flatten_dict(data)
-        return _map_structure(lambda k: flat_item[k], self.structure)
+        source = flatten_dict(data)
+        return _map_structure(source.__getitem__, self.structure)
+
+
+# --------------------------------------------------------------------------------------
+# Prompt transforms
+# --------------------------------------------------------------------------------------
+
+
+def _as_str(prompt) -> str:
+    return prompt if isinstance(prompt, str) else prompt.item()
 
 
 @dataclasses.dataclass(frozen=True)
@@ -87,9 +193,9 @@ class InjectDefaultPrompt(DataTransformFn):
     prompt: str | None
 
     def __call__(self, data: DataDict) -> DataDict:
-        if self.prompt is not None and "prompt" not in data:
-            data["prompt"] = np.asarray(self.prompt)
-        return data
+        if "prompt" in data or self.prompt is None:
+            return data
+        return {**data, "prompt": np.asarray(self.prompt)}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -97,49 +203,88 @@ class InsertAdvantageIntoPrompt(DataTransformFn):
     """Appends ``, Advantage: {x:.4f}`` to the prompt (Stage Advantage conditioning)."""
 
     def __call__(self, data: DataDict) -> DataDict:
-        if "advantage" not in data:
-            raise ValueError(f"advantage is not in data, data_keys: {list(data.keys())}")
-        if "prompt" not in data:
-            raise ValueError(f"prompt is not in data, data_keys: {list(data.keys())}")
-        advantage = data["advantage"]
-        prompt = data["prompt"]
-        if not isinstance(prompt, str):
-            prompt = prompt.item()
-        data["prompt"] = prompt + f", Advantage: {float(advantage):.4f}"
+        for required in ("advantage", "prompt"):
+            if required not in data:
+                raise ValueError(f"{required} is not in data, data_keys: {list(data.keys())}")
+        suffix = f", Advantage: {float(data['advantage']):.4f}"
+        data["prompt"] = _as_str(data["prompt"]) + suffix
         return data
+
+
+@dataclasses.dataclass(frozen=True)
+class PromptFromLeRobotTask(DataTransformFn):
+    """Prompt := the LeRobot task string for this frame's task_index (AWBC hook)."""
+
+    tasks: dict[int, str]
+
+    def __call__(self, data: DataDict) -> DataDict:
+        if "task_index" not in data:
+            raise ValueError('Cannot extract prompt without "task_index"')
+        index = int(data["task_index"])
+        if index not in self.tasks:
+            raise ValueError(f"task_index={index} not found in task mapping: {self.tasks}")
+        return {**data, "prompt": self.tasks[index]}
+
+
+# --------------------------------------------------------------------------------------
+# Normalization
+#
+# Forward truncates the stats to the data's trailing dim; inverse pads the stats
+# (z-score: mean←0 / std←1) or passes extra dims through untouched (quantile).
+# The epsilon placement matches the reference exactly — it is part of the 1e-3
+# action-fidelity contract.
+# --------------------------------------------------------------------------------------
+
+
+def _znorm(x, s: NormStats):
+    d = x.shape[-1]
+    return (x - s.mean[..., :d]) / (s.std[..., :d] + 1e-6)
+
+
+def _znorm_inv(x, s: NormStats):
+    mean = pad_to_dim(s.mean, x.shape[-1], axis=-1, value=0.0)
+    std = pad_to_dim(s.std, x.shape[-1], axis=-1, value=1.0)
+    return x * (std + 1e-6) + mean
+
+
+def _qnorm(x, s: NormStats):
+    d = x.shape[-1]
+    lo, hi = s.q01[..., :d], s.q99[..., :d]
+    return (x - lo) / (hi - lo + 1e-6) * 2.0 - 1.0
+
+
+def _qnorm_inv(x, s: NormStats):
+    lo, hi = s.q01, s.q99
+    d = lo.shape[-1]
+    mapped = (x[..., :d] + 1.0) / 2.0 * (hi - lo + 1e-6) + lo
+    if d < x.shape[-1]:
+        return np.concatenate([mapped, x[..., d:]], axis=-1)
+    return mapped
+
+
+def _require_quantiles(norm_stats: dict) -> None:
+    for path, s in flatten_dict(norm_stats).items():
+        if s.q01 is None or s.q99 is None:
+            raise ValueError(
+                f"quantile stats must be provided if use_quantile_norm is True. Key {path} is missing q01 or q99."
+            )
 
 
 @dataclasses.dataclass(frozen=True)
 class Normalize(DataTransformFn):
     norm_stats: dict | None
-    # If true, use quantile normalization; otherwise z-score.
-    use_quantiles: bool = False
-    # If true, raise if a norm-stats key is missing from the data.
-    strict: bool = False
+    use_quantiles: bool = False  # quantile map to [-1, 1] instead of z-score
+    strict: bool = False  # raise if a stats key is absent from the data
 
     def __post_init__(self):
-        if self.norm_stats is not None and self.use_quantiles:
-            _assert_quantile_stats(self.norm_stats)
+        if self.use_quantiles and self.norm_stats is not None:
+            _require_quantiles(self.norm_stats)
 
     def __call__(self, data: DataDict) -> DataDict:
         if self.norm_stats is None:
             return data
-        return apply_tree(
-            data,
-            self.norm_stats,
-            self._normalize_quantile if self.use_quantiles else self._normalize,
-            strict=self.strict,
-        )
-
-    def _normalize(self, x, stats: NormStats):
-        mean, std = stats.mean[..., : x.shape[-1]], stats.std[..., : x.shape[-1]]
-        return (x - mean) / (std + 1e-6)
-
-    def _normalize_quantile(self, x, stats: NormStats):
-        assert stats.q01 is not None
-        assert stats.q99 is not None
-        q01, q99 = stats.q01[..., : x.shape[-1]], stats.q99[..., : x.shape[-1]]
-        return (x - q01) / (q99 - q01 + 1e-6) * 2.0 - 1.0
+        mode = _qnorm if self.use_quantiles else _znorm
+        return apply_tree(data, self.norm_stats, mode, strict=self.strict)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,46 +293,51 @@ class Unnormalize(DataTransformFn):
     use_quantiles: bool = False
 
     def __post_init__(self):
-        if self.norm_stats is not None and self.use_quantiles:
-            _assert_quantile_stats(self.norm_stats)
+        if self.use_quantiles and self.norm_stats is not None:
+            _require_quantiles(self.norm_stats)
 
     def __call__(self, data: DataDict) -> DataDict:
         if self.norm_stats is None:
             return data
-        return apply_tree(
-            data,
-            self.norm_stats,
-            self._unnormalize_quantile if self.use_quantiles else self._unnormalize,
-            strict=True,
-        )
+        mode = _qnorm_inv if self.use_quantiles else _znorm_inv
+        # strict: unnormalizing model outputs must never silently skip a key.
+        return apply_tree(data, self.norm_stats, mode, strict=True)
 
-    def _unnormalize(self, x, stats: NormStats):
-        mean = pad_to_dim(stats.mean, x.shape[-1], axis=-1, value=0.0)
-        std = pad_to_dim(stats.std, x.shape[-1], axis=-1, value=1.0)
-        return x * (std + 1e-6) + mean
 
-    def _unnormalize_quantile(self, x, stats: NormStats):
-        assert stats.q01 is not None
-        assert stats.q99 is not None
-        q01, q99 = stats.q01, stats.q99
-        if (dim := q01.shape[-1]) < x.shape[-1]:
-            return np.concatenate([(x[..., :dim] + 1.0) / 2.0 * (q99 - q01 + 1e-6) + q01, x[..., dim:]], axis=-1)
-        return (x + 1.0) / 2.0 * (q99 - q01 + 1e-6) + q01
+# --------------------------------------------------------------------------------------
+# Action-space transforms
+# --------------------------------------------------------------------------------------
+
+
+def _shift_by_state(data: DataDict, mask, sign: int) -> DataDict:
+    """actions[..., :d] ± state[..., :d] on mask-selected dims (broadcast over horizon)."""
+    if mask is None or "actions" not in data:
+        return data
+    mask = np.asarray(mask)
+    d = mask.shape[-1]
+    offset = np.where(mask, data["state"][..., :d], 0)[..., None, :]
+    data["actions"][..., :d] += sign * offset
+    return data
 
 
 @dataclasses.dataclass(frozen=True)
-class ResizeImages(DataTransformFn):
-    height: int
-    width: int
+class DeltaActions(DataTransformFn):
+    """Absolute → delta action space on mask-selected dims (relative to current state)."""
+
+    mask: Sequence[bool] | None
 
     def __call__(self, data: DataDict) -> DataDict:
-        from kai0_tpu.shared import image_tools
+        return _shift_by_state(data, self.mask, -1)
 
-        data["image"] = {
-            k: image_tools.resize_with_pad_np(np.asarray(v), self.height, self.width)
-            for k, v in data["image"].items()
-        }
-        return data
+
+@dataclasses.dataclass(frozen=True)
+class AbsoluteActions(DataTransformFn):
+    """Delta → absolute action space on mask-selected dims."""
+
+    mask: Sequence[bool] | None
+
+    def __call__(self, data: DataDict) -> DataDict:
+        return _shift_by_state(data, self.mask, +1)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -195,61 +345,30 @@ class SubsampleActions(DataTransformFn):
     stride: int
 
     def __call__(self, data: DataDict) -> DataDict:
-        data["actions"] = data["actions"][:: self.stride]
-        return data
+        return {**data, "actions": data["actions"][:: self.stride]}
 
 
-@dataclasses.dataclass(frozen=True)
-class DeltaActions(DataTransformFn):
-    """Repacks absolute actions into delta action space for mask-selected dims."""
-
-    mask: Sequence[bool] | None
-
-    def __call__(self, data: DataDict) -> DataDict:
-        if "actions" not in data or self.mask is None:
-            return data
-        state, actions = data["state"], data["actions"]
-        mask = np.asarray(self.mask)
-        dims = mask.shape[-1]
-        actions[..., :dims] -= np.expand_dims(np.where(mask, state[..., :dims], 0), axis=-2)
-        data["actions"] = actions
-        return data
-
-
-@dataclasses.dataclass(frozen=True)
-class AbsoluteActions(DataTransformFn):
-    """Repacks delta actions back into absolute action space for mask-selected dims."""
-
-    mask: Sequence[bool] | None
-
-    def __call__(self, data: DataDict) -> DataDict:
-        if "actions" not in data or self.mask is None:
-            return data
-        state, actions = data["state"], data["actions"]
-        mask = np.asarray(self.mask)
-        dims = mask.shape[-1]
-        actions[..., :dims] += np.expand_dims(np.where(mask, state[..., :dims], 0), axis=-2)
-        data["actions"] = actions
-        return data
+# --------------------------------------------------------------------------------------
+# Tokenization
+# --------------------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(frozen=True)
 class TokenizePrompt(DataTransformFn):
     tokenizer: object  # PaligemmaTokenizer protocol: .tokenize(prompt, state|None)
-    discrete_state_input: bool = False
+    discrete_state_input: bool = False  # π₀.₅: discretized state goes into the prompt
 
     def __call__(self, data: DataDict) -> DataDict:
-        if (prompt := data.pop("prompt", None)) is None:
+        prompt = data.pop("prompt", None)
+        if prompt is None:
             raise ValueError("Prompt is required")
+        state = None
         if self.discrete_state_input:
-            if (state := data.get("state", None)) is None:
+            state = data.get("state")
+            if state is None:
                 raise ValueError("State is required.")
-        else:
-            state = None
-        if not isinstance(prompt, str):
-            prompt = prompt.item()
-        tokens, token_masks = self.tokenizer.tokenize(prompt, state)
-        return {**data, "tokenized_prompt": tokens, "tokenized_prompt_mask": token_masks}
+        tokens, masks = self.tokenizer.tokenize(_as_str(prompt), state)
+        return {**data, "tokenized_prompt": tokens, "tokenized_prompt_mask": masks}
 
 
 @dataclasses.dataclass(frozen=True)
@@ -257,12 +376,12 @@ class TokenizeFASTInputs(DataTransformFn):
     tokenizer: object  # FASTTokenizer protocol
 
     def __call__(self, data: DataDict) -> DataDict:
-        if (prompt := data.pop("prompt", None)) is None:
+        prompt = data.pop("prompt", None)
+        if prompt is None:
             raise ValueError("Prompt is required")
-        if not isinstance(prompt, str):
-            prompt = prompt.item()
-        state, actions = data["state"], data.get("actions")
-        tokens, token_mask, ar_mask, loss_mask = self.tokenizer.tokenize(prompt, state, actions)
+        tokens, token_mask, ar_mask, loss_mask = self.tokenizer.tokenize(
+            _as_str(prompt), data["state"], data.get("actions")
+        )
         return {
             **data,
             "tokenized_prompt": tokens,
@@ -281,149 +400,40 @@ class ExtractFASTActions(DataTransformFn):
     def __call__(self, data: DataDict) -> DataDict:
         if "actions" not in data:
             return data
-        tokens = data.pop("actions")  # for FAST models these are tokens
-        actions = self.tokenizer.extract_actions(np.asarray(tokens).astype(np.int32), self.action_horizon, self.action_dim)
-        return {**data, "actions": actions}
+        # For FAST models the "actions" leaving the model are tokens to decode.
+        tokens = np.asarray(data.pop("actions")).astype(np.int32)
+        decoded = self.tokenizer.extract_actions(tokens, self.action_horizon, self.action_dim)
+        return {**data, "actions": decoded}
+
+
+# --------------------------------------------------------------------------------------
+# Shape transforms
+# --------------------------------------------------------------------------------------
 
 
 @dataclasses.dataclass(frozen=True)
-class PromptFromLeRobotTask(DataTransformFn):
-    """Extracts a prompt from the current LeRobot dataset task (AWBC conditioning hook)."""
-
-    tasks: dict[int, str]
+class ResizeImages(DataTransformFn):
+    height: int
+    width: int
 
     def __call__(self, data: DataDict) -> DataDict:
-        if "task_index" not in data:
-            raise ValueError('Cannot extract prompt without "task_index"')
-        task_index = int(data["task_index"])
-        if (prompt := self.tasks.get(task_index)) is None:
-            raise ValueError(f"{task_index=} not found in task mapping: {self.tasks}")
-        return {**data, "prompt": prompt}
+        from kai0_tpu.shared import image_tools
+
+        resized = {
+            name: image_tools.resize_with_pad_np(np.asarray(img), self.height, self.width)
+            for name, img in data["image"].items()
+        }
+        return {**data, "image": resized}
 
 
 @dataclasses.dataclass(frozen=True)
 class PadStatesAndActions(DataTransformFn):
-    """Zero-pads states and actions to the model action dimension."""
+    """Zero-pads state (and actions, when present) to the model action dimension."""
 
     model_action_dim: int
 
     def __call__(self, data: DataDict) -> DataDict:
-        data["state"] = pad_to_dim(data["state"], self.model_action_dim, axis=-1)
+        out = {**data, "state": pad_to_dim(data["state"], self.model_action_dim, axis=-1)}
         if "actions" in data:
-            data["actions"] = pad_to_dim(data["actions"], self.model_action_dim, axis=-1)
-        return data
-
-
-# --------------------------------------------------------------------------------------
-# Helpers
-# --------------------------------------------------------------------------------------
-
-
-def flatten_dict(tree: dict, sep: str = "/") -> dict:
-    """Flatten a nested dictionary using ``sep`` as the separator."""
-    out = {}
-
-    def rec(node, prefix):
-        if isinstance(node, dict):
-            for k, v in node.items():
-                rec(v, f"{prefix}{sep}{k}" if prefix else str(k))
-        else:
-            out[prefix] = node
-
-    rec(tree, "")
-    return out
-
-
-def unflatten_dict(tree: dict, sep: str = "/") -> dict:
-    """Inverse of ``flatten_dict``."""
-    out: dict = {}
-    for key, value in tree.items():
-        parts = key.split(sep)
-        node = out
-        for p in parts[:-1]:
-            node = node.setdefault(p, {})
-        node[parts[-1]] = value
-    return out
-
-
-def _map_structure(fn: Callable, structure):
-    if isinstance(structure, dict):
-        return {k: _map_structure(fn, v) for k, v in structure.items()}
-    return fn(structure)
-
-
-def transform_dict(patterns: Mapping[str, str | None], tree: dict) -> dict:
-    """Rename/remove keys of a nested dict using (ordered) full-match regex patterns.
-
-    Keys are flattened '/'-paths; values may use backreferences; ``None`` removes the key.
-    Only the first matching pattern applies. Parity: reference transforms.py:382-433.
-    """
-    data = flatten_dict(tree)
-    compiled = {re.compile(k): v for k, v in patterns.items()}
-
-    output = {}
-    for k in data:
-        for pattern, repl in compiled.items():
-            if pattern.fullmatch(k):
-                new_k = pattern.sub(repl, k, count=1) if repl is not None else None
-                break
-        else:
-            new_k = k
-        if new_k is not None:
-            if new_k in output:
-                raise ValueError(f"Key '{new_k}' already exists in output")
-            output[new_k] = data[k]
-
-    names = sorted(output)
-    for i in range(len(names) - 1):
-        name, next_name = names[i : i + 2]
-        if next_name.startswith(name + "/"):
-            raise ValueError(f"Leaf '{name}' aliases a node of '{next_name}'")
-    return unflatten_dict(output)
-
-
-def apply_tree(tree: dict, selector: dict, fn: Callable[[T, S], T], *, strict: bool = False) -> dict:
-    tree = flatten_dict(tree)
-    selector = flatten_dict(selector)
-
-    if strict:
-        for k in selector:
-            if k not in tree:
-                raise ValueError(f"Selector key {k} not found in tree")
-
-    def transform(k: str, v):
-        if k in selector:
-            return fn(v, selector[k])
-        return v
-
-    return unflatten_dict({k: transform(k, v) for k, v in tree.items()})
-
-
-def pad_to_dim(x: np.ndarray, target_dim: int, axis: int = -1, value: float = 0.0) -> np.ndarray:
-    """Pad an array to the target dimension along ``axis`` with ``value``."""
-    x = np.asarray(x)
-    current_dim = x.shape[axis]
-    if current_dim < target_dim:
-        pad_width = [(0, 0)] * len(x.shape)
-        pad_width[axis] = (0, target_dim - current_dim)
-        return np.pad(x, pad_width, constant_values=value)
-    return x
-
-
-def make_bool_mask(*dims: int) -> tuple[bool, ...]:
-    """``make_bool_mask(2, -2, 2) == (True, True, False, False, True, True)``."""
-    result = []
-    for dim in dims:
-        if dim > 0:
-            result.extend([True] * dim)
-        else:
-            result.extend([False] * (-dim))
-    return tuple(result)
-
-
-def _assert_quantile_stats(norm_stats) -> None:
-    for k, v in flatten_dict(norm_stats).items():
-        if v.q01 is None or v.q99 is None:
-            raise ValueError(
-                f"quantile stats must be provided if use_quantile_norm is True. Key {k} is missing q01 or q99."
-            )
+            out["actions"] = pad_to_dim(data["actions"], self.model_action_dim, axis=-1)
+        return out
