@@ -83,10 +83,19 @@ class SimpleValueEvaluator:
         self._executor = concurrent.futures.ThreadPoolExecutor(max_workers=num_workers)
 
         if params is None:
-            params_path = pathlib.Path(ckpt_dir) / "params"
-            if not params_path.exists():
-                params_path = pathlib.Path(ckpt_dir)
-            params = _checkpoints.restore_params(params_path, dtype=jnp.bfloat16)
+            from kai0_tpu.interop import is_torch_checkpoint, load_torch_checkpoint
+
+            if is_torch_checkpoint(ckpt_dir):
+                # kai0's released estimator checkpoints are torch model.safetensors
+                # (reference scripts/train_pytorch.py:149-196).
+                params = load_torch_checkpoint(
+                    ckpt_dir, self.model_config, dtype=jnp.bfloat16, strict=False
+                )
+            else:
+                params_path = pathlib.Path(ckpt_dir) / "params"
+                if not params_path.exists():
+                    params_path = pathlib.Path(ckpt_dir)
+                params = _checkpoints.restore_params(params_path, dtype=jnp.bfloat16)
         self._params = params
 
         self.tokenizer = _tokenizer.PaligemmaTokenizer(self.model_config.max_token_len)

@@ -49,7 +49,21 @@ def resolve_params_dir(checkpoint_path: str | pathlib.Path) -> pathlib.Path:
     raise FileNotFoundError(f"No params directory found under {checkpoint_path}")
 
 
-def load_params(checkpoint_path: str | pathlib.Path, dtype=None) -> dict:
+def load_params(checkpoint_path: str | pathlib.Path, dtype=None, model_config=None) -> dict:
+    """Load a checkpoint's params as a JAX-layout tree.
+
+    With ``model_config`` given, torch-format checkpoints (``model.safetensors``,
+    the reference's PyTorch trainer output) are converted on the fly — so every
+    mixing mode works over torch checkpoints too (reference arithmetic_torch.py).
+    """
+    if model_config is not None:
+        from kai0_tpu.interop import is_torch_checkpoint, load_torch_checkpoint
+
+        root = pathlib.Path(checkpoint_path)
+        if root.name == "params":
+            root = root.parent
+        if is_torch_checkpoint(root):
+            return load_torch_checkpoint(root, model_config, dtype=dtype, strict=False)
     return _checkpoints.restore_params(resolve_params_dir(checkpoint_path), restore_type=np.ndarray, dtype=dtype)
 
 
@@ -137,7 +151,7 @@ class DeviceEnsemble:
         logger.info(f"Loading {len(checkpoint_paths)} checkpoints onto mesh {dict(self.mesh.shape)}")
         self.params_list = []
         for path in checkpoint_paths:
-            host = load_params(path, dtype=jnp.bfloat16)
+            host = load_params(path, dtype=jnp.bfloat16, model_config=model_config)
             shardings = _sharding.fsdp_sharding(host, self.mesh)
             self.params_list.append(jax.device_put(host, shardings))
 

@@ -551,9 +551,15 @@ def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str, boo
     spec = os.environ.get("KAI0_INT8_SITES", default_spec)
     if not spec or spec == "all":
         return _GEMMA_QUANT_SITES
-    keys = spec.split(",")
+    keys = [k.strip() for k in spec.split(",") if k.strip()]
     neg = [k[1:] for k in keys if k.startswith("-")]
     pos = [k for k in keys if not k.startswith("-")]
+    # A token that selects/excludes nothing is a misconfiguration — fail loudly.
+    for k in pos + neg:
+        if not any(k in p.pattern for (p, _, _) in _GEMMA_QUANT_SITES):
+            raise ValueError(
+                f"KAI0_INT8_SITES token {k!r} matches no gemma quant site pattern"
+            )
     return tuple(
         (p, e, st)
         for (p, e, st) in _GEMMA_QUANT_SITES
@@ -566,18 +572,28 @@ def _siglip_inference_sites() -> tuple[tuple[re.Pattern, str, bool], ...]:
     (``0``/``1``/``all`` or a comma list of ``attn``, ``mlp``, ``head``).
 
     Default OFF — measured a net loss on v5e serving (batch 4, --int8: 80.9 ms
-    gemma-only vs 81.7 all-sites vs 84.9 mlp-only, PERF.md): at the tower's
+    gemma-only vs 81.7 all-sites vs 84.9 mlp+head only, PERF.md): at the tower's
     K=1152/4304 shapes the dynamic activation row-quant passes (plus the
     head-major transposes on the attention projections) cost more than the
     2x int8 MXU rate returns — the same economics that sank SwitchBack for the
     *training* tower. Kept env-gated for bigger vision variants/batches."""
-    spec = os.environ.get("KAI0_INT8_SIGLIP", "0")
-    if spec.lower() in ("0", "false", "off", "no", ""):
+    spec = os.environ.get("KAI0_INT8_SIGLIP", "0").strip().lower()
+    if spec in ("0", "false", "off", "no", ""):
         return ()
-    if spec.lower() in ("1", "true", "on", "yes", "all"):
+    if spec in ("1", "true", "on", "yes", "all"):
         return _SIGLIP_QUANT_SITES
     words = {"attn": "Attention", "mlp": "Mlp", "head": "head/kernel"}
-    want = [words.get(k, k) for k in spec.split(",")]
+    want = []
+    for token in (t.strip() for t in spec.split(",")):
+        if not token:
+            continue
+        pattern_text = words.get(token, token)
+        if not any(pattern_text in s[0].pattern for s in _SIGLIP_QUANT_SITES):
+            raise ValueError(
+                f"KAI0_INT8_SIGLIP token {token!r} selects no SigLIP quant site "
+                f"(expected one of {sorted(words)}, 'all', or '0')"
+            )
+        want.append(pattern_text)
     return tuple(s for s in _SIGLIP_QUANT_SITES if any(w in s[0].pattern for w in want))
 
 

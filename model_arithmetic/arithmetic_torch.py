@@ -1,12 +1,20 @@
-"""Mix PyTorch-format kai0/openpi checkpoints (model.safetensors) with weighted averaging.
+"""Mix PyTorch-format kai0/openpi checkpoints (model.safetensors).
 
-CLI parity with the reference ``model_arithmetic/arithmetic_torch.py``: resolves
-``model.safetensors`` checkpoint dirs, mixes state dicts in float64, saves the mixed
-``model.safetensors`` plus a weighted-average ``norm_stats.json``. Weight selection:
-``average`` / manual ``--weights`` / ``inverse_loss`` from externally computed
-``--losses`` (this framework has no torch model mirror by design — loss-based
-optimization of JAX checkpoints lives in ``arithmetic.py``, which keeps all N
-checkpoints device-resident on the TPU mesh).
+CLI parity with the reference ``model_arithmetic/arithmetic_torch.py:118-425``:
+resolves ``model.safetensors`` checkpoint dirs, selects weights by
+``average`` / manual ``--weights`` / ``inverse_loss`` / ``gradient_descent`` /
+``adaptive_gradient_descent`` / ``greedy``, mixes state dicts in float64, saves
+the mixed ``model.safetensors`` plus a weighted-average ``norm_stats.json``.
+
+Loss-driven modes run through the TPU-native optimizer: each torch checkpoint is
+converted to the JAX layout (``kai0_tpu/interop``) and kept device-resident on
+the mesh by ``kai0_tpu/arithmetic/core.py`` — no torch mirror of the model is
+needed. The final mixed weights are applied to the raw safetensors state dicts
+(float64 on host, exactly like the reference's ``mix_params``), so the output is
+a byte-layout-faithful torch checkpoint.
+
+``inverse_loss`` accepts externally computed ``--losses`` as before; without
+them it evaluates each checkpoint on ``--data-path`` batches like the reference.
 """
 
 from __future__ import annotations
@@ -14,6 +22,7 @@ from __future__ import annotations
 import argparse
 import logging
 import pathlib
+import pickle
 import sys
 
 import numpy as np
@@ -21,6 +30,14 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 logger = logging.getLogger("kai0_tpu")
+
+_OPT_METHODS = (
+    "average",
+    "inverse_loss",
+    "gradient_descent",
+    "adaptive_gradient_descent",
+    "greedy",
+)
 
 
 def resolve_torch_ckpt_path(path: str | pathlib.Path) -> pathlib.Path:
@@ -71,26 +88,63 @@ def mix_torch_params(
     return mixed
 
 
+def optimize_weights(args) -> list[float]:
+    """Loss-driven weight selection over torch checkpoints via the JAX ensemble."""
+    from kai0_tpu.arithmetic import core
+    from kai0_tpu.training import config as _config
+
+    if args.config is None or args.data_path is None:
+        raise ValueError(f"--config and --data-path are required for {args.optimize_method}")
+    config = _config.get_config(args.config)
+    with open(args.data_path, "rb") as f:
+        batches = pickle.load(f)
+
+    ensemble = core.DeviceEnsemble(list(args.checkpoints), config.model)
+    if args.optimize_method == "inverse_loss":
+        losses = ensemble.checkpoint_losses(batches)
+        logger.info(f"Per-checkpoint losses: {losses}")
+        return core.compute_optimal_weights(losses)
+    if args.optimize_method == "greedy":
+        return core.optimize_weights_greedy(ensemble, batches)
+    return core.optimize_weights_gradient_descent(
+        ensemble,
+        batches,
+        num_iterations=args.num_iterations,
+        learning_rate=args.learning_rate,
+        adaptive=args.optimize_method == "adaptive_gradient_descent",
+    )
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="Mix PyTorch safetensors checkpoints.")
     parser.add_argument("--checkpoints", nargs="+", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--weights", nargs="+", type=float, default=None)
     parser.add_argument("--losses", nargs="+", type=float, default=None,
-                        help="Per-checkpoint validation losses for inverse_loss weighting")
-    parser.add_argument("--optimize_method", choices=["average", "inverse_loss"], default="average")
+                        help="Per-checkpoint validation losses for inverse_loss weighting "
+                             "(skips on-device evaluation)")
+    parser.add_argument("--optimize_method", choices=_OPT_METHODS, default="average")
+    parser.add_argument("--config", default=None, help="Train config name (loss-driven modes)")
+    parser.add_argument("--data-path", default=None,
+                        help="Validation batches pickle from dump_data.py (loss-driven modes)")
+    parser.add_argument("--num_iterations", type=int, default=50)
+    parser.add_argument("--learning_rate", type=float, default=0.05)
     args = parser.parse_args(argv)
 
     weights = args.weights
     if weights is None:
-        if args.optimize_method == "inverse_loss":
-            if args.losses is None or len(args.losses) != len(args.checkpoints):
-                raise ValueError("--losses (one per checkpoint) required for inverse_loss")
+        if args.optimize_method == "average":
+            weights = [1.0 / len(args.checkpoints)] * len(args.checkpoints)
+        elif args.optimize_method == "inverse_loss" and args.losses is not None:
+            if len(args.losses) != len(args.checkpoints):
+                raise ValueError("--losses must have one value per checkpoint")
             from kai0_tpu.arithmetic import core
 
             weights = core.compute_optimal_weights(args.losses)
         else:
-            weights = [1.0 / len(args.checkpoints)] * len(args.checkpoints)
+            weights = optimize_weights(args)
+    if len(weights) != len(args.checkpoints):
+        raise ValueError("Number of weights must match number of checkpoints")
     logger.info(f"Mixing weights: {weights}")
 
     params_list = [load_torch_params(p) for p in args.checkpoints]

@@ -119,3 +119,47 @@ def test_torch_safetensors_mixing(tmp_path):
         at.mix_torch_params(
             [at.load_torch_params(tmp_path / "ckpt_0"), at.load_torch_params(bad)], [0.5, 0.5]
         )
+
+
+def test_torch_checkpoint_loss_driven_mixing(tmp_path):
+    """gradient_descent over torch checkpoints: converted via interop, optimized
+    on-device, mixed back to safetensors (reference arithmetic_torch.py:118-425)."""
+    import pathlib
+    import pickle
+    import sys
+
+    import jax.numpy as jnp
+    import safetensors.numpy
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent / "model_arithmetic"))
+    import arithmetic_torch as at
+
+    from kai0_tpu.interop import save_torch_checkpoint
+    from kai0_tpu.training import config as _train_config
+
+    config = _train_config.get_config("debug_pi05")
+    for i in range(2):
+        params = config.model.init_params(jax.random.key(10 + i))
+        save_torch_checkpoint(params, config.model, tmp_path / f"ckpt_{i}")
+
+    batches = [(config.model.fake_obs(1), config.model.fake_act(1))]
+    data_path = tmp_path / "val.pkl"
+    with open(data_path, "wb") as f:
+        pickle.dump(batches, f)
+
+    at.main([
+        "--checkpoints", str(tmp_path / "ckpt_0"), str(tmp_path / "ckpt_1"),
+        "--output", str(tmp_path / "mixed"),
+        "--optimize_method", "gradient_descent",
+        "--config", "debug_pi05",
+        "--data-path", str(data_path),
+        "--num_iterations", "2",
+    ])
+    mixed = safetensors.numpy.load_file(str(tmp_path / "mixed" / "model.safetensors"))
+    a = safetensors.numpy.load_file(str(tmp_path / "ckpt_0" / "model.safetensors"))
+    b = safetensors.numpy.load_file(str(tmp_path / "ckpt_1" / "model.safetensors"))
+    key = "action_in_proj.weight"
+    lo = np.minimum(a[key], b[key]) - 1e-6
+    hi = np.maximum(a[key], b[key]) + 1e-6
+    assert ((mixed[key] >= lo) & (mixed[key] <= hi)).all()  # convex combination
+    assert set(mixed) == set(a)

@@ -231,10 +231,11 @@ def test_quantized_inference_sampling_close_to_bf16():
 
 
 def test_quantize_inference_tree_covers_siglip_sites(monkeypatch):
-    """--int8 serving quantizes the SigLIP tower too (it is frozen at inference;
-    batched serving is compute-bound on its 3-image prefill, PERF.md). The tower
-    output must stay close to bf16, and KAI0_INT8_SIGLIP=0 must restore the
-    gemma-only behavior."""
+    """Under KAI0_INT8_SIGLIP the (inference-frozen) SigLIP tower quantizes too —
+    off by default because it measured slower at serve shapes on v5e (PERF.md).
+    Exercises quantize_frozen_tree with the explicit SigLIP site list, then the
+    documented env path via quantize_inference_tree + KAI0_INT8_SIGLIP=all; the
+    tower output must stay close to bf16."""
     from kai0_tpu.models import siglip as _siglip
     from kai0_tpu.transforms import flatten_dict
 
@@ -279,9 +280,24 @@ def test_quantize_inference_tree_covers_siglip_sites(monkeypatch):
 
     monkeypatch.setenv("KAI0_INT8_SIGLIP", "0")
     assert quant._siglip_inference_sites() == ()
-    monkeypatch.setenv("KAI0_INT8_SIGLIP", "mlp,head")
+    monkeypatch.setenv("KAI0_INT8_SIGLIP", "mlp, head")  # whitespace tolerated
     pats = [p.pattern for p, _, _ in quant._siglip_inference_sites()]
     assert all("Attention" not in p for p in pats) and len(pats) == 3
+    # A typo'd token must fail loudly, not silently select nothing.
+    monkeypatch.setenv("KAI0_INT8_SIGLIP", "atn")
+    with pytest.raises(ValueError, match="atn"):
+        quant._siglip_inference_sites()
+    monkeypatch.setenv("KAI0_INT8_SITES", "atn")
+    with pytest.raises(ValueError, match="atn"):
+        quant._active_sites()
+    monkeypatch.delenv("KAI0_INT8_SITES")
+
+    # The documented env path: quantize_inference_tree picks up KAI0_INT8_SIGLIP.
+    monkeypatch.setenv("KAI0_INT8_SIGLIP", "all")
+    env_tree = quant.quantize_inference_tree({"img": params})["img"]
+    env_keys = [k for k, v in flatten_dict({"img": env_tree}).items() if quant.is_quant(v)]
+    assert any("head/kernel" in k for k in env_keys)
+    assert any("query/kernel" in k for k in env_keys)
 
 
 def test_quantized_inference_pi0_fast_decodes():
