@@ -399,3 +399,73 @@ def test_pi0_fast_loss_and_decode_match_reference():
     )
     assert our_tokens.shape == ref_out.shape
     assert np.array_equal(our_tokens, ref_out), "greedy decode token mismatch"
+
+
+def test_reference_saved_checkpoint_restores_here(golden, tmp_path):
+    """Reverse-direction checkpoint compat: Orbax-save params from the REFERENCE
+    nnx stack (both layouts: training saves whose key paths end in nnx's "value"
+    suffix, and released pure-dict checkpoints), then restore_params here and
+    assert exact tree equality + identical sampled actions. Closes the blind spot
+    where only our-params→reference injection was tested
+    (reference model.py:319-365, training/checkpoints.py:78-86)."""
+    import flax.nnx as nnx
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+
+    from kai0_tpu.training import checkpoints as _checkpoints
+    from kai0_tpu.transforms import flatten_dict
+
+    ours, our_params, ref = golden
+
+    # The reference's TrainState.params is the nnx.State of the model: saving it
+    # through orbax is exactly what its save_state does for the "params" item.
+    _, state = nnx.split(ref)
+
+    ckpt_train = tmp_path / "ref_train_save" / "params"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ckpt_train, {"params": state.to_pure_dict()})
+    restored = _checkpoints.restore_params(ckpt_train, restore_type=np.ndarray)
+
+    # nnx State pure dicts keep the "value" suffix? Either way, restore_params must
+    # produce OUR layout exactly.
+    flat_ours = flatten_dict(jax.tree.map(np.asarray, our_params))
+    flat_restored = flatten_dict(restored)
+    assert set(flat_restored) == set(flat_ours), (
+        sorted(set(flat_restored) ^ set(flat_ours))[:5]
+    )
+    for k in flat_ours:
+        np.testing.assert_array_equal(flat_restored[k], flat_ours[k], err_msg=k)
+
+    # Released-checkpoint layout: explicit "value"-suffixed nested tree (what
+    # training-run saves of nnx.State look like on disk).
+    value_tree = {}
+    for path, leaf in state.flat_state():
+        node = value_tree
+        parts = [str(p) for p in path] + ["value"]
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = np.asarray(leaf.value)
+    ckpt_value = tmp_path / "ref_value_save" / "params"
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(ckpt_value, {"params": value_tree})
+    restored_v = _checkpoints.restore_params(ckpt_value, restore_type=np.ndarray)
+    flat_v = flatten_dict(restored_v)
+    assert set(flat_v) == set(flat_ours)
+    for k in flat_ours:
+        np.testing.assert_array_equal(flat_v[k], flat_ours[k], err_msg=k)
+
+    # Serve-level: sampling from the restored tree matches sampling from ours.
+    images, state_arr, tokens, token_mask, _, rng = _fake_inputs(ours, batch=1)
+    from kai0_tpu.models import model as _model
+
+    obs = _model.Observation(
+        images=images,
+        image_masks={k: np.ones(1, bool) for k in images},
+        state=state_arr,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    a1 = np.asarray(ours.sample_actions(our_params, rng, obs, num_steps=2))
+    a2 = np.asarray(ours.sample_actions(jax.tree.map(jnp.asarray, restored), rng, obs, num_steps=2))
+    np.testing.assert_allclose(a1, a2, atol=1e-6)

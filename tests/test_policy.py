@@ -237,3 +237,32 @@ def test_libero_inputs():
     out = LiberoInputs(model_type=_model.ModelType.PI0)(make_libero_example())
     assert not out["image_mask"]["right_wrist_0_rgb"]
     assert LiberoOutputs()({"actions": np.zeros((10, 32))})["actions"].shape == (10, 7)
+
+
+def test_create_trained_policy_fsdp_devices(tmp_path):
+    """serve_policy --fsdp_devices path: the factory's _serve_mesh + sharded
+    serving must produce the same actions as single-device serving (this is the
+    only branch a real multi-chip pod serve exercises — keep it compiling)."""
+    import jax.numpy as jnp
+
+    from kai0_tpu.policies import policy_config as _policy_config
+    from kai0_tpu.training import checkpoints as _checkpoints
+    from kai0_tpu.training import config as _train_config
+
+    config = _train_config.get_config("debug_serve")
+    params = jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16), config.model.init_params(jax.random.key(5))
+    )
+    ckpt = tmp_path / "ckpt"
+    _checkpoints.save_params(params, ckpt / "params")
+
+    kwargs = dict(sample_kwargs={"num_steps": 2}, default_prompt="smoke")
+    single = _policy_config.create_trained_policy(config, ckpt, **kwargs)
+    sharded = _policy_config.create_trained_policy(
+        config, ckpt, fsdp_devices=len(jax.devices()), **kwargs
+    )
+    noise = np.zeros((config.model.action_horizon, config.model.action_dim), np.float32)
+    example = make_agilex_example()
+    a = single.infer(dict(example), noise=noise)["actions"]
+    b = sharded.infer(dict(example), noise=noise)["actions"]
+    np.testing.assert_allclose(a, b, atol=1e-4)
