@@ -12,6 +12,14 @@ Library form of the reference's 2.4k-line ROS collector
   keyboard-driven mode logic (infer / dagger / record / save / resume), decoupled
   from any keyboard backend so it is unit-testable and reusable from ROS or
   teleoperation stacks.
+- ``KalmanFilter`` (reference ``SimpleKalmanFilter`` :478-498): per-dim scalar
+  Kalman smoothing of executed actions (``--use_kalman_filter`` path :849-851),
+  vectorized over the action vector.
+- ``MasterArmSwitcher`` (reference ``enter_dagger_mode`` flow :1760-1795 +
+  ``enable_master_arms``/``move_masters_to_*``/``switch_masters_to_teach_mode``
+  :1592-1679): the master/slave arm hand-off choreography when a human takes
+  over — enable masters → safe pose → match slave pose → drag-teach mode —
+  against an injectable arm-bus protocol instead of ROS publishers.
 
 Episodes saved here convert to LeRobot format with
 ``kai0_tpu.augment.convert_h5.convert_h5_to_lerobot``.
@@ -209,3 +217,135 @@ class DaggerStateMachine:
     def consume_save_request(self) -> bool:
         req, self.save_requested = self.save_requested, False
         return req
+
+
+class KalmanFilter:
+    """Per-dimension scalar Kalman smoothing of executed actions.
+
+    Exact semantics of the reference ``SimpleKalmanFilter``
+    (agilex_openpi_dagger_collect.py:478-498), vectorized over the action
+    vector (the reference instantiates one scalar filter per state dim; the
+    math is elementwise, so one vector filter is identical). Note the
+    reference's idiosyncratic error-estimate update — it feeds back the
+    *updated* estimate and scales the innovation by process_variance — which is
+    preserved verbatim since it defines the smoothing the robot was tuned with.
+    """
+
+    def __init__(self, process_variance: float = 1e-6, measurement_variance: float = 1e-7):
+        self.process_variance = process_variance
+        self.measurement_variance = measurement_variance
+        self.estimate: np.ndarray | None = None
+        self.error_estimate: np.ndarray | float = 1.0
+
+    def update(self, measurement: np.ndarray) -> np.ndarray:
+        measurement = np.asarray(measurement, dtype=np.float64)
+        if self.estimate is None:
+            self.estimate = measurement.copy()
+            return self.estimate
+        gain = self.error_estimate / (self.error_estimate + self.measurement_variance)
+        self.estimate = self.estimate + gain * (measurement - self.estimate)
+        self.error_estimate = (
+            (1 - gain) * self.error_estimate
+            + np.abs(self.estimate - measurement) * self.process_variance
+        )
+        return self.estimate
+
+    def reset(self) -> None:
+        self.estimate = None
+        self.error_estimate = 1.0
+
+
+# Reference safe intermediate pose ("same as inference initial pose",
+# agilex_openpi_dagger_collect.py:1686-1687).
+SAFE_MASTER_POSE = (0.0, 0.32, -0.36, 0.0, 0.24, 0.0, 0.07)
+
+
+class MasterArmBus:
+    """What :class:`MasterArmSwitcher` needs from the robot stack.
+
+    A ROS node implements these with publishers (reference RosOperator
+    :1592-1679); tests/sims implement them directly.
+    """
+
+    def enable_masters(self, enabled: bool) -> None:  # /teach/master_enable_*
+        raise NotImplementedError
+
+    def set_master_config(self, config: str) -> None:  # /teach/master_config_*
+        raise NotImplementedError
+
+    def set_teach_mode(self, mode: int) -> None:  # /teach/master_teach_mode_*
+        raise NotImplementedError
+
+    def command_master_joints(self, left, right) -> None:  # joint command topics
+        raise NotImplementedError
+
+    def slave_positions(self):  # -> (left, right) current puppet joint positions
+        raise NotImplementedError
+
+
+class MasterArmSwitcher:
+    """The DAgger hand-off: bring the master arms to the slaves, then free-drag.
+
+    ``enter_dagger_mode`` mirrors the reference flow (:1769-1782): enable both
+    masters, hold them at the safe intermediate pose, move them onto the current
+    slave pose (so grabbing them causes no jump), then switch to drag-teach
+    mode. Commands are re-published ``repeats`` times and poses held at
+    ``hold_hz`` for ``move_duration`` — the reference's 3×-publish / 10 Hz / 3 s
+    cadence — with an injectable ``sleep`` so tests run instantly.
+
+    ``exit_dagger_mode`` (resume inference) leaves teach mode and disables the
+    masters; the reference leaves this implicit in its node shutdown.
+    """
+
+    def __init__(
+        self,
+        bus: MasterArmBus,
+        *,
+        move_duration: float = 3.0,
+        hold_hz: float = 10.0,
+        repeats: int = 3,
+        sleep=None,
+    ):
+        import time as _time
+
+        self.bus = bus
+        self.move_duration = move_duration
+        self.hold_hz = hold_hz
+        self.repeats = repeats
+        self._sleep = sleep if sleep is not None else _time.sleep
+        self.in_teach_mode = False
+
+    def _hold_pose(self, left, right) -> None:
+        ticks = max(int(self.move_duration * self.hold_hz), 1)
+        for _ in range(ticks):
+            self.bus.command_master_joints(left, right)
+            self._sleep(1.0 / self.hold_hz)
+
+    def enter_dagger_mode(self) -> bool:
+        for _ in range(self.repeats):
+            self.bus.enable_masters(True)
+            self._sleep(0.05)
+
+        self._hold_pose(list(SAFE_MASTER_POSE), list(SAFE_MASTER_POSE))
+
+        slaves = self.bus.slave_positions()
+        if slaves is None:
+            return False  # reference aborts when no puppet data is available
+        left, right = slaves
+        self._hold_pose(list(left), list(right))
+
+        for _ in range(self.repeats):
+            self.bus.set_master_config("master")
+            self._sleep(0.05)
+        for _ in range(self.repeats):
+            self.bus.set_teach_mode(1)
+            self._sleep(0.05)
+        self.in_teach_mode = True
+        return True
+
+    def exit_dagger_mode(self) -> None:
+        for _ in range(self.repeats):
+            self.bus.set_teach_mode(0)
+            self._sleep(0.05)
+        self.bus.enable_masters(False)
+        self.in_teach_mode = False

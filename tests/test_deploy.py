@@ -329,3 +329,100 @@ def test_inference_client_driver_loops(mode):
     assert policy.calls >= 1
     # the robot executed exactly max_steps actions
     assert np.all(np.isfinite(robot._state))
+
+
+def test_kalman_filter_matches_reference_scalar_semantics():
+    """Vectorized KalmanFilter == the reference's per-dim scalar SimpleKalmanFilter
+    (agilex_openpi_dagger_collect.py:478-498), reimplemented here as the spec."""
+    from kai0_tpu.deploy.dagger import KalmanFilter
+
+    class _ScalarRef:
+        def __init__(self, pv=1e-6, mv=1e-7):
+            self.pv, self.mv = pv, mv
+            self.est, self.err = None, 1.0
+
+        def update(self, m):
+            if self.est is None:
+                self.est = m
+                return m
+            g = self.err / (self.err + self.mv)
+            self.est = self.est + g * (m - self.est)
+            self.err = (1 - g) * self.err + abs(self.est - m) * self.pv
+            return self.est
+
+    rng = np.random.default_rng(0)
+    dim = 14
+    kf = KalmanFilter()
+    scalars = [_ScalarRef() for _ in range(dim)]
+    for _ in range(25):
+        raw = rng.normal(size=dim)
+        got = kf.update(raw)
+        want = np.array([s.update(float(raw[i])) for i, s in enumerate(scalars)])
+        np.testing.assert_allclose(got, want, rtol=1e-12)
+    # Smoothing actually smooths: variance of filtered steps < raw steps.
+    kf.reset()
+    raw_seq = rng.normal(size=(200, dim)) * 0.01 + np.linspace(0, 1, 200)[:, None]
+    out_seq = np.stack([kf.update(x) for x in raw_seq])
+    assert np.var(np.diff(out_seq, axis=0)) < np.var(np.diff(raw_seq, axis=0))
+
+
+def test_master_arm_switcher_choreography():
+    """enter_dagger_mode: enable -> safe pose hold -> slave pose hold -> config ->
+    teach mode, with the reference's 3x republish cadence
+    (agilex_openpi_dagger_collect.py:1769-1782, 1592-1679)."""
+    from kai0_tpu.deploy.dagger import SAFE_MASTER_POSE, MasterArmBus, MasterArmSwitcher
+
+    events = []
+
+    class _Bus(MasterArmBus):
+        def enable_masters(self, enabled):
+            events.append(("enable", enabled))
+
+        def set_master_config(self, config):
+            events.append(("config", config))
+
+        def set_teach_mode(self, mode):
+            events.append(("teach", mode))
+
+        def command_master_joints(self, left, right):
+            events.append(("joints", tuple(np.round(left, 3)), tuple(np.round(right, 3))))
+
+        def slave_positions(self):
+            return [0.1] * 7, [0.2] * 7
+
+    sw = MasterArmSwitcher(_Bus(), move_duration=0.3, hold_hz=10.0, sleep=lambda _: None)
+    assert sw.enter_dagger_mode()
+    assert sw.in_teach_mode
+
+    kinds = [e[0] for e in events]
+    assert kinds[:3] == ["enable"] * 3  # 3x republish
+    joint_events = [e for e in events if e[0] == "joints"]
+    assert len(joint_events) == 6  # 0.3s * 10Hz per pose, two poses
+    safe = tuple(np.round(SAFE_MASTER_POSE, 3))
+    assert joint_events[0][1] == safe and joint_events[0][2] == safe
+    assert joint_events[-1][1] == tuple([0.1] * 7) and joint_events[-1][2] == tuple([0.2] * 7)
+    # config precedes teach mode; both repeated 3x
+    assert [e for e in events if e[0] == "config"] == [("config", "master")] * 3
+    assert [e for e in events if e[0] == "teach"] == [("teach", 1)] * 3
+    assert kinds.index("config") < kinds.index("teach")
+
+    events.clear()
+    sw.exit_dagger_mode()
+    assert not sw.in_teach_mode
+    assert [e for e in events if e[0] == "teach"] == [("teach", 0)] * 3
+    assert events[-1] == ("enable", False)
+
+
+def test_master_arm_switcher_aborts_without_slave_data():
+    from kai0_tpu.deploy.dagger import MasterArmBus, MasterArmSwitcher
+
+    class _Bus(MasterArmBus):
+        def enable_masters(self, enabled): pass
+        def set_master_config(self, config): pass
+        def set_teach_mode(self, mode): pass
+        def command_master_joints(self, left, right): pass
+        def slave_positions(self): return None
+
+    sw = MasterArmSwitcher(_Bus(), move_duration=0.1, sleep=lambda _: None)
+    assert not sw.enter_dagger_mode()
+    assert not sw.in_teach_mode

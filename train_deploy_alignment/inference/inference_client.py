@@ -68,6 +68,26 @@ class SimRobot:
         self._state = np.asarray(action, dtype=np.float32)[: len(self._state)]
 
 
+class KalmanSmoothedRobot:
+    """Wrap a RobotInterface so published actions are Kalman-smoothed.
+
+    Reference ``--use_kalman_filter`` (agilex_openpi_dagger_collect.py:849-851):
+    the raw policy action is filtered per dim before interpolation/publish.
+    """
+
+    def __init__(self, robot):
+        from kai0_tpu.deploy.dagger import KalmanFilter
+
+        self._robot = robot
+        self._kf = KalmanFilter()
+
+    def get_observation(self) -> dict:
+        return self._robot.get_observation()
+
+    def publish_action(self, action: np.ndarray) -> None:
+        self._robot.publish_action(np.asarray(self._kf.update(action), dtype=np.float32))
+
+
 def run_sync(policy, robot, prompt: str, publish_rate: float, max_steps: int):
     """Blocking infer → execute loop (reference agilex_inference_openpi_sync.py)."""
     steps = 0
@@ -175,6 +195,8 @@ def main() -> None:
     parser.add_argument("--execute-horizon", type=int, default=25)
     parser.add_argument("--max-guidance-weight", type=float, default=5.0)
     parser.add_argument("--sim", action="store_true", help="Use the loopback SimRobot")
+    parser.add_argument("--use-kalman-filter", action="store_true",
+                        help="Kalman-smooth published actions (reference --use_kalman_filter)")
     args = parser.parse_args()
 
     from kai0_client.websocket_client_policy import WebsocketClientPolicy
@@ -186,6 +208,8 @@ def main() -> None:
             "robot (ROS topics → get_observation/publish_action) or pass --sim."
         )
     robot = SimRobot()
+    if args.use_kalman_filter:
+        robot = KalmanSmoothedRobot(robot)
 
     if args.mode == "sync":
         run_sync(policy, robot, args.prompt, args.publish_rate, args.max_steps)
