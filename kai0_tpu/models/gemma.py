@@ -324,10 +324,13 @@ def decode_logits(params: dict, x: jax.Array) -> jax.Array:
     return jnp.dot(x, params["embedder"]["input_embedding"].T.astype(x.dtype))
 
 
-def _remat_policy():
+def _remat_policy(env: str = "KAI0_REMAT"):
     """Rematerialization policy for the layer scan.
 
-    ``KAI0_REMAT`` selects the memory/compute trade:
+    ``KAI0_REMAT`` selects the memory/compute trade (``KAI0_REMAT_VIT`` overrides
+    it for the SigLIP tower only, falling back to ``KAI0_REMAT`` when unset —
+    the ViT is ~30% of step time at <40% MFU under full recompute, so it often
+    wants a more save-happy policy than the gemma scans):
       - ``nothing`` (default): recompute everything in backward — minimum HBM, the
         reference's ``nothing_saveable`` behavior (gemma.py:359-381);
       - ``dots``: save matmul outputs — faster backward, more HBM;
@@ -352,7 +355,7 @@ def _remat_policy():
     """
     import os
 
-    mode = os.environ.get("KAI0_REMAT", "nothing")
+    mode = os.environ.get(env) or os.environ.get("KAI0_REMAT", "nothing")
     if mode == "none":
         return None
     if mode == "dots":
@@ -366,9 +369,12 @@ def _remat_policy():
     return jax.checkpoint_policies.nothing_saveable
 
 
-def _maybe_remat(fn):
-    policy = _remat_policy()
-    if policy is None and __import__("os").environ.get("KAI0_REMAT") == "none":
+def _maybe_remat(fn, env: str = "KAI0_REMAT"):
+    import os
+
+    policy = _remat_policy(env)
+    mode = os.environ.get(env) or os.environ.get("KAI0_REMAT")
+    if policy is None and mode == "none":
         return fn
     return jax.checkpoint(fn, policy=policy, prevent_cse=False)
 

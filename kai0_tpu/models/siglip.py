@@ -267,7 +267,7 @@ def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
 
     from kai0_tpu.models import gemma as _gemma
 
-    body = _gemma._maybe_remat(scan_body)
+    body = _gemma._maybe_remat(scan_body, env="KAI0_REMAT_VIT")
     x, _ = jax.lax.scan(body, x, params["Transformer"]["encoderblock"])
     x = _layer_norm(params["Transformer"]["encoder_norm"], x)
 

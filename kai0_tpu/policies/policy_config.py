@@ -39,22 +39,24 @@ def create_trained_policy(
     fsdp_devices: int = 1,
     max_batch: int = 1,
     batch_wait_ms: float = 0.0,
+    params: dict | None = None,
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
 
-    logger.info(f"Loading model from {checkpoint_dir}...")
-    # Reference detection rule (policy_config.py:48-57): a torch checkpoint ships
-    # model.safetensors; the JAX layout ships an Orbax params/ item. kai0's released
-    # advantage-estimator checkpoints are torch-format, so both must serve here.
-    from kai0_tpu.interop import is_torch_checkpoint, load_torch_checkpoint
+    if params is None:
+        logger.info(f"Loading model from {checkpoint_dir}...")
+        # Reference detection rule (policy_config.py:48-57): a torch checkpoint ships
+        # model.safetensors; the JAX layout ships an Orbax params/ item. kai0's released
+        # advantage-estimator checkpoints are torch-format, so both must serve here.
+        from kai0_tpu.interop import is_torch_checkpoint, load_torch_checkpoint
 
-    if is_torch_checkpoint(checkpoint_dir):
-        params = load_torch_checkpoint(
-            checkpoint_dir, train_config.model, dtype=jnp.bfloat16, strict=False
-        )
-    else:
-        params = _checkpoints.restore_params(checkpoint_dir / "params", dtype=jnp.bfloat16)
+        if is_torch_checkpoint(checkpoint_dir):
+            params = load_torch_checkpoint(
+                checkpoint_dir, train_config.model, dtype=jnp.bfloat16, strict=False
+            )
+        else:
+            params = _checkpoints.restore_params(checkpoint_dir / "params", dtype=jnp.bfloat16)
     if quantize:
         # Int8 gemma matmul weights: ~2x less HBM traffic on the bandwidth-bound
         # serving path (kai0_tpu/ops/quant.py). Changes action numerics slightly.

@@ -8,6 +8,14 @@ HBM-bandwidth-bound, so halving weight bytes is the main lever.
 
 Usage: python scripts/bench_serve.py [--int8] [--batch 1] [--chunks 20]
        python scripts/bench_serve.py --model pi0_fast [--int8]   # AR token decode
+       python scripts/bench_serve.py --e2e [--int8] [--requests 30]
+
+``--e2e`` measures the FULL action-chunk path the ≤100 ms p50 target is about:
+a real WebsocketPolicyServer on localhost serving the full transform chain
+(resize → tokenize → normalize → device step → unnormalize), driven through
+kai0_client.WebsocketClientPolicy. Reports client-observed p50/p95 per chunk
+plus the server's own infer_ms (transforms + device) — over a remote TPU tunnel
+subtract its ~250 ms/dispatch RPC from the client numbers (PERF.md).
 """
 
 import argparse
@@ -16,6 +24,7 @@ import sys
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "packages", "kai0-client", "src"))
 
 import jax
 import jax.numpy as jnp
@@ -54,7 +63,17 @@ def main():
         help="override the config's padded prompt length — measures the latency-vs-"
         "prompt-length curve that prompt bucketing (serve_policy.py --prompt-buckets) exploits",
     )
+    ap.add_argument("--e2e", action="store_true",
+                    help="serve through a localhost WebsocketPolicyServer and report "
+                         "client-observed per-chunk latency percentiles")
+    ap.add_argument("--requests", type=int, default=30, help="--e2e request count")
+    ap.add_argument("--port", type=int, default=18731)
+    ap.add_argument("--dummy", action="store_true",
+                    help="--e2e with the debug-size model (runs anywhere, incl. CPU)")
     args = ap.parse_args()
+
+    if args.e2e:
+        return run_e2e(args)
 
     from kai0_tpu.models import pi0 as _pi0
     from kai0_tpu.models import pi0_fast as _pi0_fast
@@ -119,6 +138,70 @@ def main():
     dt = (time.time() - t0) / args.chunks
     mode = "int8" if args.int8 else "bf16"
     print(f"{args.model} sample_actions[{mode}] batch={args.batch}: {dt * 1000:.1f} ms/chunk")
+
+
+def run_e2e(args):
+    """Client-observed action-chunk latency through the real websocket stack."""
+    import tempfile
+    import threading
+
+    import numpy as np
+
+    from kai0_client.websocket_client_policy import WebsocketClientPolicy
+    from kai0_tpu.ops import quant
+    from kai0_tpu.policies import policy_config as _policy_config
+    from kai0_tpu.policies.agilex_policy import make_agilex_example
+    from kai0_tpu.serving.websocket_policy_server import WebsocketPolicyServer
+    from kai0_tpu.training import config as _config
+
+    config = _config.get_config("debug_serve" if args.dummy else "pi05_flatten_fold_normal")
+
+    @jax.jit
+    def make_params(rng):
+        p = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
+            config.model.init_params(rng),
+        )
+        return quant.quantize_inference_tree(p) if args.int8 else p
+
+    params = make_params(jax.random.key(0))
+    jax.block_until_ready(params)
+
+    with tempfile.TemporaryDirectory(prefix="bench_serve_") as tmp:
+        policy = _policy_config.create_trained_policy(
+            config, tmp, params=params, warmup=True,
+            sample_kwargs={"num_steps": args.num_steps} if not args.dummy else {"num_steps": 2},
+            default_prompt="fold the cloth",
+        )
+
+    server = WebsocketPolicyServer(policy, host="127.0.0.1", port=args.port)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    client = WebsocketClientPolicy(host="127.0.0.1", port=args.port)
+    example = make_agilex_example()
+
+    client_ms, infer_ms, prev_total_ms = [], [], []
+    for i in range(args.requests + 2):
+        t0 = time.monotonic()
+        out = client.infer(dict(example))
+        dt = (time.monotonic() - t0) * 1000
+        if i < 2:  # warm the socket + any residual jits
+            continue
+        client_ms.append(dt)
+        infer_ms.append(out["server_timing"]["infer_ms"])
+        if "prev_total_ms" in out["server_timing"]:
+            prev_total_ms.append(out["server_timing"]["prev_total_ms"])
+
+    def pct(xs, q):
+        return float(np.percentile(np.asarray(xs), q))
+
+    mode = "int8" if args.int8 else "bf16"
+    print(
+        f"e2e[{mode}] {len(client_ms)} chunks: "
+        f"client p50={pct(client_ms, 50):.1f} p95={pct(client_ms, 95):.1f} ms | "
+        f"server infer p50={pct(infer_ms, 50):.1f} p95={pct(infer_ms, 95):.1f} ms | "
+        f"server total p50={pct(prev_total_ms, 50):.1f} ms"
+    )
 
 
 if __name__ == "__main__":
