@@ -426,3 +426,43 @@ def test_master_arm_switcher_aborts_without_slave_data():
     sw = MasterArmSwitcher(_Bus(), move_duration=0.1, sleep=lambda _: None)
     assert not sw.enter_dagger_mode()
     assert not sw.in_teach_mode
+
+
+def test_replay_hdf5_robot_drives_client_loop(tmp_path):
+    """A recorded episode (DAggerCollector output, incl. mp4s) replays as the
+    robot: the full client loop runs against real recorded data and the
+    published actions can be scored against the recorded /action track —
+    the hardware-free stand-in for the reference's ROS nodes."""
+    from kai0_tpu.deploy.dagger import DAggerCollector
+
+    cams = ["top_head", "hand_left", "hand_right"]
+    col = DAggerCollector(cams, tmp_path, fps=10)
+    col.start_collection()
+    rng = np.random.default_rng(1)
+    T, D = 20, 14
+    qpos = rng.uniform(-1, 1, (T, D)).astype(np.float32)
+    for t in range(T):
+        col.add_frame(
+            {
+                "qpos": qpos[t],
+                "images": {c: rng.integers(0, 255, (48, 64, 3)).astype(np.uint8) for c in cams},
+            },
+            action=qpos[t] + 0.01,
+        )
+    path = col.save_episode(export_video=True)
+    assert path is not None
+
+    ic = _load_inference_client()
+    robot = ic.ReplayHDF5Robot(path, cameras=tuple(cams))
+    obs = robot.get_observation()
+    assert set(obs["images"]) == set(cams)
+    assert obs["images"]["top_head"].shape[0] == 3  # CHW like the ROS clients
+    np.testing.assert_allclose(obs["state"], qpos[0])
+
+    policy = _ChunkPolicy(horizon=10, dim=D)
+    ic.run_sync(policy=policy, robot=robot, prompt="p", publish_rate=500.0, max_steps=15)
+    assert len(robot.published) == 15
+    err = robot.tracking_error()
+    assert err is not None and err.shape == (15, D)
+    # observation advances with published steps (replay cursor moves)
+    assert not np.allclose(robot.get_observation()["state"], qpos[0])

@@ -68,6 +68,80 @@ class SimRobot:
         self._state = np.asarray(action, dtype=np.float32)[: len(self._state)]
 
 
+class ReplayHDF5Robot:
+    """Replay a recorded episode (ALOHA-style HDF5, the DAgger collector's format)
+    as the robot: observations come from ``/observations/qpos`` + the per-camera
+    mp4s next to the file, and published actions are logged for offline comparison
+    against the recorded ``/action`` track.
+
+    This proves the full client loop (transforms → websocket → chunk buffers →
+    publish cadence) against REAL recorded data without hardware — the gap the
+    reference fills with robot-specific ROS nodes
+    (train_deploy_alignment/inference/agilex/..._rtc.py:853-1279).
+    """
+
+    def __init__(self, episode_path, cameras=("top_head", "hand_left", "hand_right"), loop=True):
+        import pathlib
+
+        import h5py
+
+        path = pathlib.Path(episode_path)
+        with h5py.File(path, "r") as f:
+            self.qpos = np.asarray(f["observations/qpos"], dtype=np.float32)
+            self.recorded_actions = np.asarray(f["action"], dtype=np.float32)
+        self._frames = {cam: self._load_video(path, cam) for cam in cameras}
+        self._cameras = cameras
+        self._loop = loop
+        self._t = 0
+        self.published: list[np.ndarray] = []
+
+    @staticmethod
+    def _load_video(episode_path, cam):
+        import cv2
+
+        video = episode_path.parent / "video" / cam / f"{episode_path.stem}.mp4"
+        if not video.exists():
+            return None
+        cap = cv2.VideoCapture(str(video))
+        frames = []
+        while True:
+            ok, frame = cap.read()
+            if not ok:
+                break
+            frames.append(frame[..., ::-1].copy())  # BGR -> RGB
+        cap.release()
+        return frames
+
+    @property
+    def exhausted(self) -> bool:
+        return not self._loop and self._t >= len(self.qpos)
+
+    def get_observation(self) -> dict:
+        t = self._t % len(self.qpos) if self._loop else min(self._t, len(self.qpos) - 1)
+        images = {}
+        for cam in self._cameras:
+            frames = self._frames[cam]
+            if frames:
+                img = frames[min(t, len(frames) - 1)]
+            else:  # episode saved without video export
+                img = np.zeros((224, 224, 3), np.uint8)
+            images[cam] = np.transpose(img, (2, 0, 1))  # CHW, like the ROS clients send
+        return {"images": images, "state": self.qpos[t].copy()}
+
+    def publish_action(self, action: np.ndarray) -> None:
+        self.published.append(np.asarray(action, dtype=np.float32))
+        self._t += 1
+
+    def tracking_error(self) -> np.ndarray | None:
+        """Per-step |published − recorded| over the overlap, for offline eval."""
+        if not self.published:
+            return None
+        n = min(len(self.published), len(self.recorded_actions))
+        pub = np.stack(self.published[:n])
+        rec = self.recorded_actions[:n, : pub.shape[1]]
+        return np.abs(pub[:, : rec.shape[1]] - rec)
+
+
 class KalmanSmoothedRobot:
     """Wrap a RobotInterface so published actions are Kalman-smoothed.
 
@@ -195,6 +269,8 @@ def main() -> None:
     parser.add_argument("--execute-horizon", type=int, default=25)
     parser.add_argument("--max-guidance-weight", type=float, default=5.0)
     parser.add_argument("--sim", action="store_true", help="Use the loopback SimRobot")
+    parser.add_argument("--replay", default=None, metavar="EPISODE_HDF5",
+                        help="Use ReplayHDF5Robot on a recorded episode instead of hardware")
     parser.add_argument("--use-kalman-filter", action="store_true",
                         help="Kalman-smooth published actions (reference --use_kalman_filter)")
     args = parser.parse_args()
@@ -202,12 +278,16 @@ def main() -> None:
     from kai0_client.websocket_client_policy import WebsocketClientPolicy
 
     policy = WebsocketClientPolicy(host=args.host, port=args.port)
-    if not args.sim:
+    if args.replay:
+        robot = ReplayHDF5Robot(args.replay)
+    elif args.sim:
+        robot = SimRobot()
+    else:
         raise SystemExit(
             "No hardware RobotInterface configured. Implement RobotInterface for your "
-            "robot (ROS topics → get_observation/publish_action) or pass --sim."
+            "robot (ROS topics → get_observation/publish_action), or pass --sim / "
+            "--replay <episode.hdf5>."
         )
-    robot = SimRobot()
     if args.use_kalman_filter:
         robot = KalmanSmoothedRobot(robot)
 
