@@ -49,6 +49,7 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
         ema_decay=None,  # EMA doubles param HBM; reference kai0 configs disable it too
         quantize_frozen=quantize_frozen,
     )
+    train_config.apply_model_knobs()
     rng = jax.random.key(0)
     state, state_sharding, tx, trainable_mask = train_lib.init_train_state(
         train_config, rng, mesh, resume=False

@@ -258,6 +258,32 @@ class TrainConfig:
     # by the multi-chip dryrun so tiny debug models still exercise param sharding.
     fsdp_min_size_mbytes: int = 4
 
+    # Rematerialization policy for the gemma layer scans (see gemma._remat_policy:
+    # nothing | attn | attn+vitmlp | vitmlp | dots | none) and an optional separate
+    # policy for the SigLIP tower. None defers to the KAI0_REMAT / KAI0_REMAT_VIT
+    # env vars (CLI-level overrides); a value set here is authoritative and is what
+    # a run's metadata records — reproducible from the config name alone.
+    remat: str | None = None
+    remat_vit: str | None = None
+
+    def apply_model_knobs(self) -> dict[str, str]:
+        """Resolve config-level model knobs into the env the model code reads.
+
+        Called once per entry point (train / bench / dryrun) BEFORE any tracing.
+        Env vars already set by the user win over config values (CLI override);
+        returns the effective mapping for logging/metadata.
+        """
+        import os
+
+        effective = {}
+        for env, value in (("KAI0_REMAT", self.remat), ("KAI0_REMAT_VIT", self.remat_vit)):
+            if value is not None:
+                os.environ.setdefault(env, value)
+            if os.environ.get(env):
+                effective[env] = os.environ[env]
+        effective["quantize_frozen"] = str(self.quantize_frozen)
+        return effective
+
     @property
     def assets_dirs(self) -> pathlib.Path:
         return (pathlib.Path(self.assets_base_dir) / self.name).resolve()

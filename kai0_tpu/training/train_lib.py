@@ -166,6 +166,11 @@ def param_norm(params: dict) -> jax.Array:
 
 def main(config: _config.TrainConfig):
     logger.info(f"Training config: {config.name} exp={config.exp_name}")
+    # Resolve config-level model knobs (remat policies, int8) into the env the
+    # model code reads at trace time — BEFORE any jit. Explicit env vars win
+    # (CLI override); the effective values are logged so runs reproduce from the
+    # config name + this line.
+    logger.info(f"Model knobs: {config.apply_model_knobs()}")
 
     if config.batch_size % jax.device_count() != 0:
         raise ValueError(

@@ -104,3 +104,22 @@ def test_registry_configs_instantiate():
     for name, cfg in _config.registry().items():
         assert cfg.name == name
         assert cfg.batch_size > 0
+
+
+def test_apply_model_knobs(monkeypatch):
+    """Config-level remat knobs reach the env the model reads; explicit env wins."""
+    import dataclasses
+    import os
+
+    from kai0_tpu.training import config as _config
+
+    monkeypatch.delenv("KAI0_REMAT", raising=False)
+    monkeypatch.delenv("KAI0_REMAT_VIT", raising=False)
+    cfg = dataclasses.replace(_config.get_config("debug"), remat="attn", remat_vit="vitmlp")
+    eff = cfg.apply_model_knobs()
+    assert os.environ["KAI0_REMAT"] == "attn" and os.environ["KAI0_REMAT_VIT"] == "vitmlp"
+    assert eff["KAI0_REMAT"] == "attn"
+
+    monkeypatch.setenv("KAI0_REMAT", "none")  # CLI override beats config
+    eff = cfg.apply_model_knobs()
+    assert eff["KAI0_REMAT"] == "none"
