@@ -466,3 +466,35 @@ def test_replay_hdf5_robot_drives_client_loop(tmp_path):
     assert err is not None and err.shape == (15, D)
     # observation advances with published steps (replay cursor moves)
     assert not np.allclose(robot.get_observation()["state"], qpos[0])
+
+
+def test_ros_robot_module_surface():
+    """ROS adapter: image conversion + topic parity with the reference nodes;
+    constructing the robot without rospy must fail with a clear message."""
+    import importlib.util
+    import pathlib
+    import types
+
+    path = pathlib.Path(__file__).parent.parent / "train_deploy_alignment/inference/ros_robot.py"
+    spec = importlib.util.spec_from_file_location("ros_robot", path)
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)  # module import must not require rospy
+
+    # bgr8 -> CHW RGB
+    h, w = 4, 6
+    rgb = np.arange(h * w * 3, dtype=np.uint8).reshape(h, w, 3)
+    msg = types.SimpleNamespace(data=rgb[..., ::-1].tobytes(), height=h, width=w, encoding="bgr8")
+    out = rr._image_to_chw_rgb(msg)
+    assert out.shape == (3, h, w)
+    np.testing.assert_array_equal(out, rgb.transpose(2, 0, 1))
+
+    # Topic surface matches the reference defaults (rtc node :1298-1380, collector :1950-1957).
+    assert rr._CAMERA_TOPICS["top_head"] == "/camera_f/color/image_raw"
+    assert rr._PUPPET_TOPICS == ("/puppet/joint_left", "/puppet/joint_right")
+    assert rr._CMD_TOPICS == ("/master/joint_left", "/master/joint_right")
+
+    try:
+        import rospy  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="ROS1"):
+            rr.Ros1Robot()
