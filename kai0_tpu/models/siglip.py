@@ -181,19 +181,47 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
     (no transposes between projection and attention).
     """
     dtype = x.dtype
-    # k/v reuse the query eqn string (labels are positional) so one QuantArray
-    # layout covers all three projections.
-    q = _einsum("btd,dnh->bnth", x, _cast(params["query"]["kernel"], dtype), "attn") + params["query"]["bias"].astype(dtype)[None, :, None, :]
-    k = _einsum("btd,dnh->bnth", x, _cast(params["key"]["kernel"], dtype), "attn") + params["key"]["bias"].astype(dtype)[None, :, None, :]
-    v = _einsum("btd,dnh->bnth", x, _cast(params["value"]["kernel"], dtype), "attn") + params["value"]["bias"].astype(dtype)[None, :, None, :]
+    wq, wk, wv = (params[s]["kernel"] for s in ("query", "key", "value"))
+    w_out = params["out"]["kernel"]
+    flat = (
+        os.environ.get("KAI0_VIT_QKV", "headmajor") == "flat"
+        and not _quant.is_quant(wq)
+        and not _quant.switchback_enabled("attn")
+    )
+    if flat:
+        # KAI0_VIT_QKV=flat: run each projection as one full-width [D, N*H] dot
+        # (1152 = 9×128 lanes, no head-dim-72 lane padding) and split heads with an
+        # explicit reshape+transpose afterwards. Probes whether the projection
+        # cluster's measured ~52%-of-peak rate is lane padding (recoverable) or
+        # layout traffic (not).
+        d, n, h = wq.shape
+
+        def proj(w, bias):
+            y = _einsum("btd,de->bte", x, w.reshape(d, n * h).astype(dtype), "attn")
+            y = y + bias.reshape(n * h).astype(dtype)
+            return y.reshape(*y.shape[:2], n, h).transpose(0, 2, 1, 3)
+
+        q = proj(wq, params["query"]["bias"])
+        k = proj(wk, params["key"]["bias"])
+        v = proj(wv, params["value"]["bias"])
+    else:
+        # k/v reuse the query eqn string (labels are positional) so one QuantArray
+        # layout covers all three projections; head-major output feeds the fused
+        # kernel with no transposes.
+        q = _einsum("btd,dnh->bnth", x, _cast(wq, dtype), "attn") + params["query"]["bias"].astype(dtype)[None, :, None, :]
+        k = _einsum("btd,dnh->bnth", x, _cast(wk, dtype), "attn") + params["key"]["bias"].astype(dtype)[None, :, None, :]
+        v = _einsum("btd,dnh->bnth", x, _cast(wv, dtype), "attn") + params["value"]["bias"].astype(dtype)[None, :, None, :]
     head_dim = q.shape[-1]
     # Python-float scale keeps q weakly typed (an np scalar would upcast bf16→f32).
     encoded = _attention.mhsa_dense_hm(q * float(1.0 / np.sqrt(head_dim)), k, v)
-    w_out = params["out"]["kernel"]
     if _quant.is_quant(w_out):
         # Quantized rank-2 layout needs trailing contracted labels: feed the
         # [B,T,N,H] view (one transpose; the bf16 path stays head-major).
         proj = _quant.apply_quant_einsum(w_out, "btnh,nhd->btd", jnp.swapaxes(encoded, 1, 2))
+    elif flat:
+        n, h, d = w_out.shape
+        flat_enc = encoded.transpose(0, 2, 1, 3).reshape(*x.shape[:2], n * h)
+        proj = _einsum("bte,ed->btd", flat_enc, w_out.reshape(n * h, d).astype(dtype), "attn")
     else:
         proj = _einsum("bnth,nhd->btd", encoded, w_out.astype(dtype), "attn")
     return proj + params["out"]["bias"].astype(dtype)

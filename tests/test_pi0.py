@@ -201,3 +201,21 @@ def test_siglip_patchify_matches_conv(monkeypatch):
     jax.clear_caches()
     got = np.asarray(_siglip.apply(params, config, image))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_siglip_flat_qkv_matches_headmajor(monkeypatch):
+    """KAI0_VIT_QKV=flat (full-lane [D, N*H] projection dots + explicit head
+    split) equals the default head-major einsum path. The flat spelling probes
+    whether the projection cluster's lane padding (head dim 72 < 128) is
+    recoverable; both must stay numerically interchangeable."""
+    from kai0_tpu.models import siglip as _siglip
+
+    config = _siglip.get_config(8, "mu/14", dtype_mm="float32")
+    params = _siglip.init(jax.random.key(0), config, (28, 28))
+    image = jax.random.uniform(jax.random.key(1), (2, 28, 28, 3), minval=-1, maxval=1)
+
+    ref = np.asarray(_siglip.apply(params, config, image))
+    monkeypatch.setenv("KAI0_VIT_QKV", "flat")
+    jax.clear_caches()
+    got = np.asarray(_siglip.apply(params, config, image))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
