@@ -498,3 +498,40 @@ def test_ros_robot_module_surface():
     except ImportError:
         with pytest.raises(ImportError, match="ROS1"):
             rr.Ros1Robot()
+
+
+def test_ros2_robot_module_surface():
+    """ARX/ROS2 adapter: topic parity with the reference node, the cosine
+    return-to-zero ramp, and a clear failure without rclpy."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).parent.parent / "train_deploy_alignment/inference/ros_robot.py"
+    spec = importlib.util.spec_from_file_location("ros_robot", path)
+    rr = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rr)  # module import must not require rclpy
+
+    # Topic surface matches the reference node defaults (arx rtc node :846-849).
+    assert rr._ARX_STATE_TOPICS == ("/arm_slave_l_status", "/arm_slave_r_status")
+    assert rr._ARX_CMD_TOPICS == ("/arm_master_l_status", "/arm_master_r_status")
+
+    # Half-cosine ramp: endpoint-exact, monotone blend, reference 50 Hz step count.
+    current = np.linspace(-1.0, 1.0, 14)
+    target = np.zeros(14)
+    target[6] = target[13] = rr._ARX_ZERO_POSE_GRIP
+    traj = rr.cosine_ramp(current, target, duration=3.0, hz=50.0)
+    assert traj.shape == (151, 14)  # int(3.0 * 50) + 1 like the reference loop
+    np.testing.assert_allclose(traj[0], current, atol=1e-12)
+    np.testing.assert_allclose(traj[-1], target, atol=1e-12)
+    # each coordinate moves monotonically from current to target
+    diffs = np.diff(traj, axis=0)
+    signs = np.sign(target - current)
+    assert np.all(diffs * signs[None, :] >= -1e-12)
+    # midpoint is the exact average (cosine symmetry)
+    np.testing.assert_allclose(traj[75], (current + target) / 2, atol=1e-9)
+
+    try:
+        import rclpy  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError, match="ROS2"):
+            rr.Ros2Robot()

@@ -1,6 +1,6 @@
-"""ROS1 hardware adapters for the inference client and the DAgger hand-off.
+"""ROS1 + ROS2 hardware adapters for the inference client and the DAgger hand-off.
 
-Speaks the same topic surface as the reference's Agilex nodes
+``Ros1Robot`` speaks the same topic surface as the reference's Agilex nodes
 (`train_deploy_alignment/inference/agilex/inference/agilex_inference_openpi_rtc.py:1205-1277,
 1298-1380` and `dagger/agilex/agilex_openpi_dagger_collect.py:1950-1957`), so it
 drops into the same robot bring-up:
@@ -11,19 +11,31 @@ drops into the same robot bring-up:
 - DAgger master-arm bus: `/teach/master_enable_*`, `/teach/master_config_*`,
   `/teach/teach_mode_*`, `/master_controled/joint_*`
 
-This module imports ``rospy`` lazily: it is robot-edge code for the deployment
-host (Ubuntu 20.04 + ROS Noetic per the reference's setup docs) and is not
-importable in the training image. The generic loop lives in
-``inference_client.py`` — pair this with ``run_sync/run_smooth/run_rtc`` there:
+``Ros2Robot`` speaks the reference's ARX X5 surface
+(`train_deploy_alignment/inference/arx/inference/arx_openpi_inference_rtc.py:385-620`):
 
-    from ros_robot import Ros1Robot
-    robot = Ros1Robot()
+- subscribe: `/arm_slave_{l,r}_status` (arx5_arm_msg/RobotStatus ``joint_pos``,
+  falling back to sensor_msgs/JointState like the reference does)
+- publish:   `/arm_master_{l,r}_status` (RobotStatus joint commands)
+- cameras:   RealSense pipelines by serial (pyrealsense2, 640x480 RGB @ 30),
+  exposed under the policy camera names top_head / hand_left / hand_right
+- `smooth_return_to_zero` cosine ramp with the ARX gripper open values
+
+Both classes import their ROS stack (``rospy`` / ``rclpy``) lazily: this is
+robot-edge code for the deployment host (Ubuntu 20.04 per the reference's setup
+docs) and is not importable in the training image. The generic loop lives in
+``inference_client.py`` — pair either robot with ``run_sync/run_smooth/run_rtc``:
+
+    from ros_robot import Ros1Robot, Ros2Robot
+    robot = Ros1Robot()   # Agilex / ROS Noetic
+    robot = Ros2Robot(camera_serials={...})  # ARX X5 / ROS2
     run_smooth(policy, robot, prompt, publish_rate=25, infer_rate=4, max_steps=...)
 """
 
 from __future__ import annotations
 
 import threading
+import time
 
 import numpy as np
 
@@ -179,3 +191,160 @@ class Ros1MasterArmBus:
             if any(j is None for j in self._robot._joints):
                 return None
             return list(self._robot._joints[0]), list(self._robot._joints[1])
+
+
+# --- ARX X5 over ROS2 ---------------------------------------------------------
+
+_ARX_STATE_TOPICS = ("/arm_slave_l_status", "/arm_slave_r_status")
+_ARX_CMD_TOPICS = ("/arm_master_l_status", "/arm_master_r_status")
+# Reference return-to-zero pose: all joints 0, grippers held at 3.0 during the
+# ramp and released to 5.0 (open) at the end (arx_openpi_inference_rtc.py:575-597).
+_ARX_ZERO_POSE_GRIP = 3.0
+_ARX_OPEN_GRIP = 5.0
+
+
+def cosine_ramp(current: np.ndarray, target: np.ndarray, duration: float, hz: float) -> np.ndarray:
+    """[n_steps+1, dim] half-cosine trajectory from current to target.
+
+    The smooth return-to-zero schedule the reference publishes at 50 Hz
+    (arx_openpi_inference_rtc.py:580-590); pure so it is unit-testable off-robot.
+    """
+    n = max(1, int(duration * hz))
+    alpha = (1.0 - np.cos(np.linspace(0.0, 1.0, n + 1) * np.pi)) / 2.0
+    return current[None, :] * (1.0 - alpha[:, None]) + target[None, :] * alpha[:, None]
+
+
+def _require_rclpy():
+    try:
+        import rclpy  # noqa: F401
+
+        return rclpy
+    except ImportError as e:  # pragma: no cover - robot-edge only
+        raise ImportError(
+            "Ros2Robot needs a ROS2 environment with rclpy (+ arx5_arm_msg for the "
+            "real arm); run it on the robot IPC host, not the training/serving host."
+        ) from e
+
+
+class Ros2Robot:
+    """``RobotInterface`` over the reference's ARX X5 ROS2 + RealSense layout.
+
+    Joint state arrives as arx5_arm_msg/RobotStatus (``joint_pos``, 7 per arm);
+    like the reference we fall back to sensor_msgs/JointState (``position``) when
+    the ARX message package is absent. Cameras are RealSense pipelines opened by
+    serial number (reference init_cameras), surfaced under the policy camera
+    names so ``ARXInputs`` consumes the observation unchanged.
+    """
+
+    def __init__(
+        self,
+        camera_serials: dict[str, str] | None = None,
+        *,
+        node_name: str = "kai0_client",
+        state_topics: tuple[str, str] = _ARX_STATE_TOPICS,
+        cmd_topics: tuple[str, str] = _ARX_CMD_TOPICS,
+        warmup_frames: int = 30,
+    ):
+        rclpy = _require_rclpy()
+        from rclpy.node import Node
+
+        try:  # pragma: no cover - needs the ARX message package
+            from arx5_arm_msg.msg import RobotStatus
+
+            self._joint_field = "joint_pos"
+        except ImportError:
+            from sensor_msgs.msg import JointState as RobotStatus
+
+            self._joint_field = "position"
+        self._RobotStatus = RobotStatus
+
+        if not rclpy.ok():
+            rclpy.init()
+        self._rclpy = rclpy
+        self._node = Node(node_name)
+        self._lock = threading.Lock()
+        self._joints: list[np.ndarray | None] = [None, None]
+
+        for side, topic in enumerate(state_topics):
+            self._node.create_subscription(
+                RobotStatus, topic, lambda msg, s=side: self._on_status(msg, s), 10
+            )
+        self._pubs = [self._node.create_publisher(RobotStatus, t, 10) for t in cmd_topics]
+
+        self._spin = threading.Thread(
+            target=rclpy.spin, args=(self._node,), daemon=True, name="ros2-spin"
+        )
+        self._spin.start()
+
+        self._pipelines = {}
+        if camera_serials:
+            self._init_cameras(camera_serials, warmup_frames)
+
+    def _init_cameras(self, serials: dict[str, str], warmup_frames: int) -> None:
+        import pyrealsense2 as rs  # robot-edge dependency
+
+        for cam, serial in serials.items():
+            pipeline = rs.pipeline()
+            cfg = rs.config()
+            cfg.enable_device(serial)
+            cfg.enable_stream(rs.stream.color, 640, 480, rs.format.rgb8, 30)
+            pipeline.start(cfg)
+            self._pipelines[cam] = pipeline
+        for _ in range(warmup_frames):  # reference warms 30 frames per camera
+            for pipeline in self._pipelines.values():
+                pipeline.wait_for_frames(timeout_ms=5000)
+
+    def _on_status(self, msg, side: int) -> None:
+        pos = np.asarray(getattr(msg, self._joint_field), dtype=np.float32)
+        with self._lock:
+            self._joints[side] = pos
+
+    def wait_until_ready(self, timeout: float = 15.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline and self._rclpy.ok():
+            with self._lock:
+                if all(j is not None for j in self._joints):
+                    return True
+            time.sleep(0.1)
+        return False
+
+    def get_observation(self) -> dict:
+        images = {}
+        for cam, pipeline in self._pipelines.items():
+            frames = pipeline.wait_for_frames(timeout_ms=1000)
+            color = frames.get_color_frame()
+            if color:
+                hwc = np.asanyarray(color.get_data())  # rgb8 already
+                images[cam] = np.ascontiguousarray(hwc.transpose(2, 0, 1))
+        with self._lock:
+            if any(j is None for j in self._joints):
+                raise RuntimeError("No joint state yet — call wait_until_ready() first")
+            state = np.concatenate([self._joints[0][:7], self._joints[1][:7]])
+        return {"images": images, "state": state.astype(np.float32)}
+
+    def publish_action(self, action: np.ndarray) -> None:
+        action = np.asarray(action, dtype=np.float64)
+        for side, pub in enumerate(self._pubs):
+            msg = self._RobotStatus()
+            setattr(msg, self._joint_field, [float(x) for x in action[side * 7 : side * 7 + 7]])
+            pub.publish(msg)
+
+    def smooth_return_to_zero(self, duration: float = 3.0, hz: float = 50.0) -> bool:
+        with self._lock:
+            if any(j is None for j in self._joints):
+                return False
+            current = np.concatenate([self._joints[0][:7], self._joints[1][:7]]).astype(np.float64)
+        target = np.zeros(14)
+        target[6] = target[13] = _ARX_ZERO_POSE_GRIP
+        for pos in cosine_ramp(current, target, duration, hz):
+            self.publish_action(pos)
+            time.sleep(1.0 / hz)
+        open_pos = np.zeros(14)
+        open_pos[6] = open_pos[13] = _ARX_OPEN_GRIP
+        self.publish_action(open_pos)
+        return True
+
+    def close(self) -> None:
+        for pipeline in self._pipelines.values():
+            pipeline.stop()
+        self._node.destroy_node()
