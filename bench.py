@@ -36,6 +36,8 @@ A100_BASELINE_SAMPLES_PER_SEC = 6.7  # analytic estimate, see module docstring
 
 
 def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
+    import os
+
     from kai0_tpu.parallel import sharding
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import train_lib
@@ -49,6 +51,17 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
         ema_decay=None,  # EMA doubles param HBM; reference kai0 configs disable it too
         quantize_frozen=quantize_frozen,
     )
+    # bf16 AdamW moment storage (the SigLIP tower alone carries ~3.2 GB of f32 m/v
+    # at full size) frees ~1.6 GB — what lets batch 14 fit — and is itself +0.4%
+    # (halved moment read+write). Convergence-validated vs f32 moments (PERF.md
+    # round 2; optimizer._scale_by_adam_compact). KAI0_BENCH_OPT_STATE=float32
+    # reverts to exact reference-parity AdamW.
+    opt_state = os.environ.get("KAI0_BENCH_OPT_STATE", "bfloat16")
+    if opt_state and opt_state != "float32":
+        train_config = dataclasses.replace(
+            train_config,
+            optimizer=dataclasses.replace(train_config.optimizer, state_dtype=opt_state),
+        )
     train_config.apply_model_knobs()
     rng = jax.random.key(0)
     state, state_sharding, tx, trainable_mask = train_lib.init_train_state(
@@ -122,7 +135,10 @@ def main():
             max_token_len=tok_len,
         )
         mode = "lora"
-        batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "12")) * n_chips
+        # Batch 14/chip is the v5e sweet spot with the round-2 memory work (fused
+        # int8 FFN + bf16 AdamW moments): 11.78 samples/s vs 11.58 at 12, 11.29 at
+        # 16 (PERF.md round-2 sweep). Before it, 14+ OOMed and 12 was the ceiling.
+        batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "14")) * n_chips
         fsdp = 1
         # Int8 frozen base is the documented fast path for single-chip LoRA
         # fine-tunes (kai0_tpu/ops/quant.py; +11% measured, PERF.md). KAI0_BENCH_INT8=0

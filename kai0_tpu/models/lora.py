@@ -133,6 +133,20 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
 
     has_lora = "gating_einsum_lora_a" in params
     gating = params["gating_einsum"]
+    if _quant.is_quant(gating) and _quant.is_quant(params["linear"]) and _quant.fused_ffn_enabled():
+        # Whole FFN as one row-chunked op: nothing [B,T,mlp_dim]-sized hits HBM
+        # except chunk-local fusion intermediates (see quant.apply_fused_ffn).
+        lora_params = None
+        if has_lora:
+            lora_params = (
+                params["gating_einsum_lora_a"][0],
+                params["gating_einsum_lora_b"][0],
+                params["gating_einsum_lora_a"][1],
+                params["gating_einsum_lora_b"][1],
+                params["linear_lora_a"],
+                params["linear_lora_b"],
+            )
+        return _quant.apply_fused_ffn(gating, params["linear"], x, lora_params)
     if _quant.is_quant(gating):
         # Int8 gate+up as two column-sliced matmuls (one stacked QuantArray leaf);
         # the fused 2BTF einsum form OOMs 16 GB chips — see apply_quant_split.

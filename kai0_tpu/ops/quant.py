@@ -414,6 +414,178 @@ def apply_quant_split(qa: QuantArray, x: jax.Array, adds=None) -> tuple[jax.Arra
 
 
 # --------------------------------------------------------------------------------------
+# Fused gated FFN (gate|up -> gelu*mul -> down) over row chunks
+# --------------------------------------------------------------------------------------
+
+
+def fused_ffn_enabled() -> bool:
+    """``KAI0_INT8_FFN`` ∈ {``fused`` (default), ``split``}.
+
+    The composed FFN path (``apply_quant_split`` + gelu·mul + down ``qmm``)
+    materializes every [rows, mlp_dim] intermediate in HBM: gate, up, their LoRA
+    corrections (the epilogue-``add`` operands), the gelu·up product, plus a
+    zero-init per stacked map output — xprof at batch 12 shows ~250 ms/step of
+    pure HBM traffic on [12·968, 16384] bf16 tensors across fwd + remat recompute
+    + backward (PERF.md round-2 trace table). ``fused`` runs the whole FFN as ONE
+    row-chunked op with a hand-written VJP: per chunk the gate/up dots, the LoRA
+    rank-16 corrections, the gelu·mul, and the down dot happen back-to-back, so
+    only chunk-sized intermediates exist and nothing full-size hits HBM except
+    the op output. Forward numerics are bit-identical to the split path (same
+    chunk boundaries, same op order/dtypes)."""
+    return os.environ.get("KAI0_INT8_FFN", "fused") == "fused" and not (
+        weight_only_enabled() or _pallas_enabled()
+    )
+
+
+def _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, lora):
+    """One chunk's gate/up projections (+LoRA), matching the split path bitwise."""
+    dtype = x_c.dtype
+
+    def base(qw, sw):
+        yi = jax.lax.dot_general(xq, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        return yi.astype(jnp.float32) * sx * sw
+
+    gate, up = base(qg, sg), base(qu, su)
+    if lora is not None:
+        ag, bg, au, bu = lora[:4]
+        gate = gate + jnp.dot(jnp.dot(x_c, ag), bg).astype(jnp.float32)
+        up = up + jnp.dot(jnp.dot(x_c, au), bu).astype(jnp.float32)
+    return gate.astype(dtype), up.astype(dtype)
+
+
+def _ffn_down(act, qd, sd, lora):
+    """One chunk's down projection (+LoRA), matching ``_qmm_fwd_impl`` bitwise."""
+    aq, sa = _row_quant(act)
+    yi = jax.lax.dot_general(aq, qd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    yf = yi.astype(jnp.float32) * sa * sd
+    if lora is not None:
+        ad, bd = lora[4:]
+        yf = yf + jnp.dot(jnp.dot(act, ad), bd).astype(jnp.float32)
+    return yf.astype(act.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_fused_ffn(has_lora: bool, bwd_int8: bool, c: int):
+    """Build the fused FFN with a custom VJP for a given chunk count ``c``.
+
+    Forward saves only the op input; the backward re-derives gate/up/act chunk by
+    chunk (same FLOPs as the split path's remat recompute + dx dots, a fraction of
+    its HBM traffic) inside a ``lax.scan`` that accumulates the six LoRA factor
+    gradients in f32 carries and emits dx chunks.
+    """
+
+    def chunks(t):
+        return t.reshape(c, t.shape[0] // c, *t.shape[1:])
+
+    def fwd_impl(x2, qg, sg, qu, su, qd, sd, lora):
+        lora = lora if has_lora else None
+
+        def one(x_c):
+            xq, sx = _row_quant(x_c)
+            gate, up = _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, lora)
+            act = jax.nn.gelu(gate) * up
+            return _ffn_down(act, qd, sd, lora)
+
+        if c == 1:
+            return one(x2)
+        return jax.lax.map(one, chunks(x2)).reshape(x2.shape[0], -1)
+
+    @jax.custom_vjp
+    def fused(x2, qg, sg, qu, su, qd, sd, lora):
+        return fwd_impl(x2, qg, sg, qu, su, qd, sd, lora)
+
+    def fwd(x2, qg, sg, qu, su, qd, sd, lora):
+        return fwd_impl(x2, qg, sg, qu, su, qd, sd, lora), (x2, qg, sg, qu, su, qd, sd, lora)
+
+    def bwd(res, dy):
+        x2, qg, sg, qu, su, qd, sd, lora = res
+        lora = lora if has_lora else None
+        f32 = jnp.float32
+
+        def qbwd(g, qw, sw):
+            """dx of a quantized dot: straight-through (dy * s) @ q^T (see _bwd_dx)."""
+            g = g.astype(f32) * sw
+            if bwd_int8:
+                sgr = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
+                gq = jnp.round(g / sgr).astype(jnp.int8)
+                di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+                return (di.astype(f32) * sgr).astype(dy.dtype)
+            return jax.lax.dot_general(g.astype(dy.dtype), qw.astype(dy.dtype), (((1,), (1,)), ((), ())))
+
+        def one(carry, xd):
+            x_c, dy_c = xd
+            xq, sx = _row_quant(x_c)
+            gate, up = _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, lora)
+            gel, gelu_vjp = jax.vjp(jax.nn.gelu, gate)
+            act = gel * up
+            # down backward (row-quant of act is straight-through, like qmm's).
+            dact = qbwd(dy_c, qd, sd)
+            if lora is not None:
+                ag, bg, au, bu, ad, bd = lora
+                pd_back = jnp.dot(dy_c, bd.T)  # [rows, r]
+                dact = dact + jnp.dot(pd_back, ad.T)
+            dup = dact * gel
+            (dgate,) = gelu_vjp(dact * up)
+            dx_c = qbwd(dgate, qg, sg) + qbwd(dup, qu, su)
+            if lora is not None:
+                pg = jnp.dot(dgate, bg.T)
+                pu = jnp.dot(dup, bu.T)
+                dx_c = dx_c + jnp.dot(pg, ag.T) + jnp.dot(pu, au.T)
+                dag, dbg, dau, dbu, dad, dbd = carry
+                dot_f32 = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
+                carry = (
+                    dag + dot_f32(x_c.T, pg, (((1,), (0,)), ((), ()))),
+                    dbg + dot_f32(jnp.dot(x_c, ag).T, dgate, (((1,), (0,)), ((), ()))),
+                    dau + dot_f32(x_c.T, pu, (((1,), (0,)), ((), ()))),
+                    dbu + dot_f32(jnp.dot(x_c, au).T, dup, (((1,), (0,)), ((), ()))),
+                    dad + dot_f32(act.T, pd_back, (((1,), (0,)), ((), ()))),
+                    dbd + dot_f32(jnp.dot(act, ad).T, dy_c, (((1,), (0,)), ((), ()))),
+                )
+            return carry, dx_c
+
+        if has_lora:
+            ag, bg, au, bu, ad, bd = lora
+            acc0 = tuple(jnp.zeros(p.shape, f32) for p in (ag, bg, au, bu, ad, bd))
+        else:
+            acc0 = ()
+        if c == 1:
+            acc, dx = one(acc0, (x2, dy))
+        else:
+            acc, dxs = jax.lax.scan(one, acc0, (chunks(x2), chunks(dy)))
+            dx = dxs.reshape(x2.shape[0], -1)
+        zeros_w = tuple(np.zeros(t.shape, jax.dtypes.float0) for t in (qg, sg, qu, su, qd, sd))
+        lora_grads = tuple(g.astype(dy.dtype) for g in acc) if has_lora else ()
+        return (dx, *zeros_w, lora_grads)
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def apply_fused_ffn(gating_qa: QuantArray, linear_qa: QuantArray, x: jax.Array, lora_params=None) -> jax.Array:
+    """Gated-GELU FFN on quantized weights as one fused row-chunked op.
+
+    ``gating_qa`` is the stacked gate|up QuantArray (eqn ``BTF,2FD->2BTD``-style,
+    columns [gate | up]); ``linear_qa`` the down projection; ``lora_params`` the
+    (unscaled, reference-parity) factors ``(a_gate, b_gate, a_up, b_up, a_down,
+    b_down)`` or None. See ``fused_ffn_enabled`` for why this exists.
+    """
+    batch_shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    cols = gating_qa.q.shape[-1] // 2
+    qg = jax.lax.slice_in_dim(gating_qa.q, 0, cols, axis=-1)
+    sg = jax.lax.slice_in_dim(gating_qa.s, 0, cols, axis=-1)
+    qu = jax.lax.slice_in_dim(gating_qa.q, cols, 2 * cols, axis=-1)
+    su = jax.lax.slice_in_dim(gating_qa.s, cols, 2 * cols, axis=-1)
+    c = _row_chunks(x2.shape[0], max(linear_qa.q.shape))
+    lora = ()
+    if lora_params is not None:
+        lora = tuple(p.astype(x.dtype) for p in lora_params)
+    fused = _make_fused_ffn(lora_params is not None, _bwd_int8_enabled(), c)
+    y2 = fused(x2, qg, sg, qu, su, linear_qa.q, linear_qa.s, lora)
+    return y2.reshape(*batch_shape, -1)
+
+
+# --------------------------------------------------------------------------------------
 # SwitchBack: dynamic int8 for *trainable* matmuls (SigLIP tower)
 # --------------------------------------------------------------------------------------
 

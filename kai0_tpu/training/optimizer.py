@@ -21,6 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Protocol, runtime_checkable
 
+import jax
 import jax.numpy as jnp
 import optax
 
@@ -90,12 +91,58 @@ class RsqrtDecaySchedule:
         return at_step
 
 
+def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with both moments *stored* in ``state_dtype``.
+
+    The moment math runs in the gradient dtype (f32): each step upcasts m/v,
+    applies the standard Adam recurrences + bias correction, and downcasts the
+    new moments for storage. With bf16 storage the represented m/v carry 8
+    mantissa bits — relative quantization ~0.4%, halved again through the sqrt
+    on v — while bf16's f32-range exponent avoids the underflow cliff that makes
+    *linear-int8* moment storage unsafe (tiny v quantized to 0 → update ~ m/eps).
+
+    Why it exists: the π₀.₅ LoRA fine-tune trains the full SigLIP tower
+    (reference freeze filter only matches ``.*llm.*``), so a 16 GB v5e carries
+    ~3.2 GB of f32 AdamW state for it. Storing moments in bf16 frees ~1.6 GB —
+    enough to fit the remat save-sets that measured OOM-by-<700 MB (PERF.md
+    "knob sweep") at batch 12.
+    """
+    state_dtype = jnp.dtype(state_dtype)
+
+    def init(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=state_dtype)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params),
+            nu=jax.tree.map(zeros, params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        mu = jax.tree.map(lambda m, g: b1 * m.astype(g.dtype) + (1 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v.astype(g.dtype) + (1 - b2) * (g * g), state.nu, updates)
+        # Match optax.scale_by_adam: bias-correct with the *incremented* count.
+        c1 = 1 - b1**count
+        c2 = 1 - b2**count
+        out = jax.tree.map(lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu)
+        compact = lambda t: jax.tree.map(lambda x: x.astype(state_dtype), t)  # noqa: E731
+        return out, optax.ScaleByAdamState(count=count, mu=compact(mu), nu=compact(nu))
+
+    return optax.GradientTransformation(init, update)
+
+
 @dataclass(frozen=True)
 class AdamW:
     """Global-norm-clipped AdamW, built from optax primitives.
 
     ``weight_decay`` defaults to the reference's negligible-but-nonzero 1e-10
     (kept for exact update-rule parity; see its OOM-workaround note).
+
+    ``state_dtype`` selects the *storage* dtype of the two Adam moments
+    (``None`` → f32, exact reference parity; ``"bfloat16"`` halves optimizer
+    HBM — see ``_scale_by_adam_compact`` for the numerics argument and the
+    convergence A/B protocol in PERF.md).
     """
 
     b1: float = 0.9
@@ -103,11 +150,16 @@ class AdamW:
     eps: float = 1e-8
     weight_decay: float = 1e-10
     clip_gradient_norm: float = 1.0
+    state_dtype: str | None = None
 
     def create(self, lr, weight_decay_mask=None) -> optax.GradientTransformation:
+        if self.state_dtype is None:
+            scale_by_adam = optax.scale_by_adam(b1=self.b1, b2=self.b2, eps=self.eps)
+        else:
+            scale_by_adam = _scale_by_adam_compact(self.b1, self.b2, self.eps, self.state_dtype)
         return optax.chain(
             optax.clip_by_global_norm(self.clip_gradient_norm),
-            optax.scale_by_adam(b1=self.b1, b2=self.b2, eps=self.eps),
+            scale_by_adam,
             optax.add_decayed_weights(self.weight_decay, mask=weight_decay_mask),
             optax.scale_by_learning_rate(lr),  # includes the sign flip
         )

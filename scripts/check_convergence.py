@@ -49,6 +49,13 @@ def main() -> None:
         batch_size=args.batch_size,
         quantize_frozen=quant.env_flag("KAI0_INT8", "0"),
     )
+    # KAI0_OPT_STATE=bfloat16 A/Bs the compact AdamW moment storage
+    # (optimizer._scale_by_adam_compact) against the exact f32 trajectory.
+    if os.environ.get("KAI0_OPT_STATE"):
+        cfg = dataclasses.replace(
+            cfg,
+            optimizer=dataclasses.replace(cfg.optimizer, state_dtype=os.environ["KAI0_OPT_STATE"]),
+        )
     mesh = sharding.make_mesh(1)
     rng = jax.random.key(args.seed)
     state, _, tx, mask = train_lib.init_train_state(cfg, rng, mesh, resume=False)

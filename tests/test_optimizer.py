@@ -103,3 +103,46 @@ def test_sgd_momentum_matches_optax_sgd():
         return p["w"]
 
     np.testing.assert_allclose(np.asarray(run(tx_ours)), np.asarray(run(tx_ref)), rtol=1e-6)
+
+
+def test_adamw_compact_state_tracks_f32_and_stores_bf16():
+    """state_dtype="bfloat16" stores both moments compact but the update math runs
+    in f32: after a few steps the parameters must track the exact-AdamW trajectory
+    to bf16-quantization tolerance, the moments must actually BE bf16, and with
+    state_dtype f32 the compact transform must match optax.scale_by_adam exactly."""
+    lr = 1e-2
+    params = {
+        "w": jnp.array([[0.3, -1.2], [2.0, 0.1]], jnp.float32),
+        "b": jnp.array([0.5, -0.5], jnp.float32),
+    }
+
+    def run(cfg, steps=5):
+        tx = cfg.create(lr)
+        state = tx.init(params)
+        p = params
+        for i in range(steps):
+            grads = jax.tree.map(
+                lambda x: jnp.sin(x + i).astype(jnp.float32), p
+            )  # deterministic, param-dependent
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    p_ref, _ = run(opt.AdamW())
+    p_bf16, state_bf16 = run(opt.AdamW(state_dtype="bfloat16"))
+    adam_state = next(s for s in jax.tree.leaves(state_bf16, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)))
+    assert all(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(adam_state.mu))
+    assert all(v.dtype == jnp.bfloat16 for v in jax.tree.leaves(adam_state.nu))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=3e-4),
+        p_bf16,
+        p_ref,
+    )
+
+    # Exactness check: the compact transform with f32 storage IS scale_by_adam.
+    p_f32_compact, _ = run(opt.AdamW(state_dtype="float32"))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-7, atol=1e-9),
+        p_f32_compact,
+        p_ref,
+    )

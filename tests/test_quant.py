@@ -623,3 +623,92 @@ def test_fused_add_epilogue_matches_plain_add():
         np.asarray(quant.apply_quant_einsum(qa2, "BTF,FD->BTD", xl, add=a2)),
         np.asarray(quant.apply_quant_einsum(qa2, "BTF,FD->BTD", xl) + a2),
     )
+
+
+class TestFusedFFN:
+    """The fused gated-FFN op (quant.apply_fused_ffn) vs the composed split path."""
+
+    def _make(self, rows=24, d=32, f=256, rank=4, lora=True, seed=0):
+        from kai0_tpu.models import lora as _lora
+
+        keys = jax.random.split(jax.random.key(seed), 8)
+        cfg = _lora.LoRAConfig(rank=rank, alpha=4.0) if lora else None
+        params = _lora.init_ffn(keys[0], d, f, cfg)
+        params = jax.tree.map(lambda p: p.astype(jnp.float32), params)
+        qparams = dict(params)
+        qparams["gating_einsum"] = quant.quantize_einsum_weight(
+            params["gating_einsum"].astype(jnp.bfloat16), "BTD,2DF->2BTF"
+        )
+        qparams["linear"] = quant.quantize_einsum_weight(
+            params["linear"].astype(jnp.bfloat16), "BTF,FD->BTD"
+        )
+        x = (0.5 * jax.random.normal(keys[1], (2, rows // 2, d))).astype(jnp.bfloat16)
+        return qparams, x
+
+    @pytest.mark.parametrize("lora", [True, False])
+    def test_fused_forward_bit_identical_to_split(self, lora, monkeypatch):
+        from kai0_tpu.models import lora as _lora
+
+        qparams, x = self._make(lora=lora)
+        monkeypatch.setenv("KAI0_INT8_FFN", "split")
+        ref = _lora.apply_ffn(qparams, x)
+        monkeypatch.setenv("KAI0_INT8_FFN", "fused")
+        got = _lora.apply_ffn(qparams, x)
+        np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(ref, np.float32))
+
+    def test_fused_forward_matches_split_when_row_chunked(self, monkeypatch):
+        """With c>1 the two paths agree to quantization-step tolerance: XLA
+        reassociates the f32 ``yi * sx * s`` scale chain differently across
+        fusion shapes (1 bf16 ulp on gate/up), and a 1-ulp act change can shift
+        the down projection's per-row int8 rounding by one step (~0.8% of the
+        row max). Bitwise equality is therefore compilation-dependent; measured
+        diffs: 0.7% of elements, ≤0.009 absolute on an O(0.3) output."""
+        from kai0_tpu.models import lora as _lora
+
+        # Force c>1 chunking (rows divisible, tiny budget) on both paths.
+        monkeypatch.setattr(quant, "_CHUNK_BYTES", 2**20)
+        qparams, x = self._make(rows=1024, d=64, f=512)
+        assert quant._row_chunks(1024, 512) > 1
+        monkeypatch.setenv("KAI0_INT8_FFN", "split")
+        ref = np.asarray(_lora.apply_ffn(qparams, x), np.float32)
+        monkeypatch.setenv("KAI0_INT8_FFN", "fused")
+        got = np.asarray(_lora.apply_ffn(qparams, x), np.float32)
+        np.testing.assert_allclose(got, ref, rtol=0.05, atol=0.02)
+        cos = np.dot(got.ravel(), ref.ravel()) / (np.linalg.norm(got) * np.linalg.norm(ref))
+        assert cos > 0.99995
+
+    @pytest.mark.parametrize("chunked", [False, True])
+    def test_fused_grads_track_split(self, chunked, monkeypatch):
+        from kai0_tpu.models import lora as _lora
+
+        if chunked:
+            monkeypatch.setattr(quant, "_CHUNK_BYTES", 2**20)
+            qparams, x = self._make(rows=1024, d=64, f=512)
+        else:
+            qparams, x = self._make()
+
+        def loss(path):
+            monkeypatch.setenv("KAI0_INT8_FFN", path)
+
+            def f(trainable, x):
+                p = {**qparams, **trainable}
+                return jnp.mean(jnp.square(_lora.apply_ffn(p, x).astype(jnp.float32)))
+
+            trainable = {k: v for k, v in qparams.items() if not quant.is_quant(v)}
+            val, grads = jax.value_and_grad(f)(trainable, x)
+            # Also dx (the path back into the residual stream).
+            dx = jax.grad(lambda xx: f(trainable, xx))(x)
+            return val, grads, dx
+
+        val_s, g_s, dx_s = loss("split")
+        val_f, g_f, dx_f = loss("fused")
+        # chunked forward differs by isolated int8 rounding flips (see the
+        # forward test above), so the loss agrees to ~1e-4, exactly otherwise.
+        np.testing.assert_allclose(float(val_f), float(val_s), rtol=1e-3 if chunked else 1e-6)
+        for k in g_s:
+            a, b = np.asarray(g_f[k], np.float32), np.asarray(g_s[k], np.float32)
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=2e-5 * max(1.0, np.abs(b).max()), err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(dx_f, np.float32), np.asarray(dx_s, np.float32), rtol=0.05,
+            atol=2e-5 * max(1.0, np.abs(np.asarray(dx_s, np.float32)).max()),
+        )
