@@ -39,6 +39,49 @@ def test_train_and_resume(tmp_path: pathlib.Path, config_name: str):
     assert int(state2.step) == config.num_train_steps + 2
 
 
+def test_train_and_resume_with_bf16_opt_state(tmp_path: pathlib.Path):
+    """AdamW(state_dtype="bfloat16") survives the Orbax round trip: the compact
+    moments checkpoint and restore with their storage dtype intact, and training
+    continues from them."""
+    import jax.numpy as jnp
+    import optax
+
+    config = dataclasses.replace(
+        _config.get_config("debug"),
+        exp_name="bf16opt",
+        checkpoint_base_dir=str(tmp_path / "checkpoints"),
+        assets_base_dir=str(tmp_path / "assets"),
+        fsdp_devices=2,
+        batch_size=8,
+        overwrite=True,
+    )
+    config = dataclasses.replace(
+        config, optimizer=dataclasses.replace(config.optimizer, state_dtype="bfloat16")
+    )
+    state = train_lib.main(config)
+    adam = next(
+        s
+        for s in jax.tree.leaves(
+            state.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+    )
+    assert all(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(adam.mu))
+
+    resumed = train_lib.main(
+        dataclasses.replace(
+            config, overwrite=False, resume=True, num_train_steps=config.num_train_steps + 2
+        )
+    )
+    assert int(resumed.step) == config.num_train_steps + 2
+    adam2 = next(
+        s
+        for s in jax.tree.leaves(
+            resumed.opt_state, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState)
+        )
+    )
+    assert all(m.dtype == jnp.bfloat16 for m in jax.tree.leaves(adam2.mu))
+
+
 def test_train_step_decreases_loss_on_repeated_batch(tmp_path):
     """Optimizer sanity: loss decreases when overfitting a single batch."""
     import functools
