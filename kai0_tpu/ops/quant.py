@@ -157,8 +157,24 @@ def _pallas_enabled() -> bool:
     return env_flag("KAI0_INT8_PALLAS", "0") and jax.default_backend() == "tpu"
 
 
+def _rowquant_pallas_enabled() -> bool:
+    """One-pass Pallas row quantization (``KAI0_INT8_ROWQUANT=pallas``).
+
+    The XLA lowering of ``_row_quant`` sweeps the tensor twice (abs+row-max
+    reduce fusion, then a round/convert fusion re-reading x) — ~150 ms/step of
+    the batch-14 train step at the [rows, mlp_dim] FFN sites (PERF.md round 2).
+    The kernel (``pallas_rowquant.row_quant``) does amax/scale/round in VMEM in
+    one HBM sweep, bit-identical numerics.
+    """
+    return os.environ.get("KAI0_INT8_ROWQUANT", "xla") == "pallas" and jax.default_backend() == "tpu"
+
+
 def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric per-row dynamic quantization: x ≈ xq * sx, sx f32 [rows, 1]."""
+    if x.ndim == 2 and x.shape[-1] >= 1024 and _rowquant_pallas_enabled():
+        from kai0_tpu.ops import pallas_rowquant
+
+        return pallas_rowquant.row_quant(x)
     sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
     xq = jnp.round(x.astype(jnp.float32) / sx).astype(jnp.int8)
     return xq, sx
@@ -199,8 +215,7 @@ def _bwd_dx(q, s, dy, bwd_int8: bool):
     def bwd_chunk(dyc):
         g = dyc.astype(jnp.float32) * s
         if bwd_int8:
-            sg = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
-            gq = jnp.round(g / sg).astype(jnp.int8)
+            gq, sg = _row_quant(g)
             dxi = jax.lax.dot_general(gq, q, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
             return (dxi.astype(jnp.float32) * sg).astype(dy.dtype)
         return jax.lax.dot_general(g.astype(dy.dtype), q.astype(dy.dtype), (((1,), (1,)), ((), ())))
@@ -325,8 +340,7 @@ def _qmm_fwd_impl(x, add, q, s):
         return y if add is None else y + add
 
     def fwd_chunk(xc, *addc):
-        sx = jnp.maximum(jnp.max(jnp.abs(xc), axis=-1, keepdims=True).astype(jnp.float32), 1e-30) / 127.0
-        xq = jnp.round(xc.astype(jnp.float32) / sx).astype(jnp.int8)
+        xq, sx = _row_quant(xc)
         yi = jax.lax.dot_general(xq, q, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         yf = yi.astype(jnp.float32) * sx * s
         if addc:
@@ -506,8 +520,7 @@ def _make_fused_ffn(has_lora: bool, bwd_int8: bool, c: int):
             """dx of a quantized dot: straight-through (dy * s) @ q^T (see _bwd_dx)."""
             g = g.astype(f32) * sw
             if bwd_int8:
-                sgr = jnp.maximum(jnp.max(jnp.abs(g), axis=-1, keepdims=True), 1e-30) / 127.0
-                gq = jnp.round(g / sgr).astype(jnp.int8)
+                gq, sgr = _row_quant(g)
                 di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
                 return (di.astype(f32) * sgr).astype(dy.dtype)
             return jax.lax.dot_general(g.astype(dy.dtype), qw.astype(dy.dtype), (((1,), (1,)), ((), ())))

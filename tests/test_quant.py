@@ -712,3 +712,48 @@ class TestFusedFFN:
             np.asarray(dx_f, np.float32), np.asarray(dx_s, np.float32), rtol=0.05,
             atol=2e-5 * max(1.0, np.abs(np.asarray(dx_s, np.float32)).max()),
         )
+
+
+# ---------------------------------------------------------------------------
+# One-pass Pallas row quantization (kai0_tpu/ops/pallas_rowquant.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "m,k,dtype",
+    [
+        (3388, 2048, jnp.bfloat16),  # the batch-14 FFN chunk row count (non-128-divisible)
+        (256, 16384, jnp.bfloat16),  # mlp_dim-wide rows, f32 divide temp at the VMEM budget
+        (130, 1536, jnp.float32),  # f32 gradients (the dgrad row-quant site) + odd M
+        (32, 1024, jnp.bfloat16),  # single block
+    ],
+)
+def test_pallas_row_quant_bit_identical(m, k, dtype):
+    """KAI0_INT8_ROWQUANT=pallas must not change training numerics: the kernel's
+    int8 codes and f32 scales match quant._row_quant exactly."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kai0_tpu.ops import pallas_rowquant
+
+    rng = np.random.default_rng(7)
+    x = jnp.array(rng.standard_normal((m, k)) * 3.0, dtype)
+    # A few zero rows exercise the 1e-30 clamp.
+    x = x.at[: min(2, m)].set(0)
+
+    # jit the reference: training always runs _row_quant under jit, where XLA
+    # lowers /127.0 to a reciprocal multiply (1 ulp off the eager divide) — the
+    # kernel matches the jitted lowering.
+    xq_ref, sx_ref = jax.jit(quant._row_quant)(x)
+    with pltpu.force_tpu_interpret_mode():
+        xq, sx = pallas_rowquant.row_quant(x)
+    np.testing.assert_array_equal(np.asarray(xq), np.asarray(xq_ref))
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sx_ref))
+
+
+def test_row_quant_pallas_dispatch(monkeypatch):
+    """_row_quant routes to the kernel only under KAI0_INT8_ROWQUANT=pallas on a
+    TPU backend; the env default keeps the XLA path."""
+    monkeypatch.setenv("KAI0_INT8_ROWQUANT", "pallas")
+    assert quant._rowquant_pallas_enabled() == (jax.default_backend() == "tpu")
+    monkeypatch.delenv("KAI0_INT8_ROWQUANT")
+    assert not quant._rowquant_pallas_enabled()
