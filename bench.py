@@ -54,9 +54,12 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
     # bf16 AdamW moment storage (the SigLIP tower alone carries ~3.2 GB of f32 m/v
     # at full size) frees ~1.6 GB — what lets batch 14 fit — and is itself +0.4%
     # (halved moment read+write). Convergence-validated vs f32 moments (PERF.md
-    # round 2; optimizer._scale_by_adam_compact). KAI0_BENCH_OPT_STATE=float32
-    # reverts to exact reference-parity AdamW.
-    opt_state = os.environ.get("KAI0_BENCH_OPT_STATE", "bfloat16")
+    # round 2; optimizer._scale_by_adam_compact). Only defaults on alongside the
+    # int8 base: the KAI0_BENCH_INT8=0 configuration is the documented bf16
+    # reference-parity point and must run the exact reference AdamW.
+    opt_state = os.environ.get(
+        "KAI0_BENCH_OPT_STATE", "bfloat16" if quantize_frozen else "float32"
+    )
     if opt_state and opt_state != "float32":
         train_config = dataclasses.replace(
             train_config,

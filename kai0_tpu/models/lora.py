@@ -132,8 +132,18 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
         return jnp.dot(x, w.astype(x.dtype)) + lora_term(x, lora_ab)
 
     has_lora = "gating_einsum_lora_a" in params
+    # The fused path threads one 6-factor LoRA tuple (gate, up, down); with
+    # gate-only or down-only LoRA the split path below handles each projection
+    # independently (fused would KeyError on the missing set — or worse,
+    # silently drop a down-only adapter).
+    mixed_lora = has_lora != ("linear_lora_a" in params)
     gating = params["gating_einsum"]
-    if _quant.is_quant(gating) and _quant.is_quant(params["linear"]) and _quant.fused_ffn_enabled():
+    if (
+        _quant.is_quant(gating)
+        and _quant.is_quant(params["linear"])
+        and _quant.fused_ffn_enabled()
+        and not mixed_lora
+    ):
         # Whole FFN as one row-chunked op: nothing [B,T,mlp_dim]-sized hits HBM
         # except chunk-local fusion intermediates (see quant.apply_fused_ffn).
         lora_params = None

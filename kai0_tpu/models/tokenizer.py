@@ -37,6 +37,27 @@ _NEWLINE_ID = 108  # "\n" in the Gemma vocab
 
 logger = logging.getLogger("kai0_tpu")
 
+_WARNED_FALLBACKS: set[str] = set()
+
+
+def _warn_fallback(name: str, detail: str) -> None:
+    """Loud one-time warning when an offline stand-in codec activates.
+
+    The fallback codecs keep the pipeline runnable with zero network access, but
+    they are NOT the codecs a real openpi checkpoint was trained with — serving
+    one through them produces garbage prompts/actions. Suppressed under pytest
+    (the tests exercise the fallbacks on purpose).
+    """
+    if name in _WARNED_FALLBACKS or "PYTEST_CURRENT_TEST" in os.environ:
+        return
+    _WARNED_FALLBACKS.add(name)
+    logger.warning(
+        "=" * 78 + f"\nTOKENIZER FALLBACK ACTIVE: {name}. {detail}\n"
+        "Outputs are deterministic stand-ins, NOT compatible with checkpoints "
+        "trained on the real codec. Verify the real path with "
+        "scripts/validate_tokenizer.py once assets are available.\n" + "=" * 78
+    )
+
 
 # --------------------------------------------------------------------------------------
 # Text codecs
@@ -127,6 +148,11 @@ def _default_text_codec():
             return SentencePieceCodec(path)
         except Exception as e:  # noqa: BLE001
             logger.warning(f"Failed to load sentencepiece model from {path}: {e}; using hash codec")
+    _warn_fallback(
+        "HashWordCodec (text)",
+        "No PaliGemma sentencepiece model (set KAI0_PALIGEMMA_TOKENIZER to the "
+        "paligemma_tokenizer.model path).",
+    )
     return HashWordCodec()
 
 
@@ -233,6 +259,11 @@ def _default_fast_codec(fast_tokenizer_path: str):
             return AutoProcessor.from_pretrained(fast_tokenizer_path, trust_remote_code=True)
         except Exception:  # noqa: BLE001
             pass
+    _warn_fallback(
+        "DCTActionCodec (FAST actions)",
+        f"HF processor {fast_tokenizer_path!r} unavailable offline (pre-download "
+        "it into the HF cache, or set KAI0_ALLOW_HUB=1 on a networked host).",
+    )
     return DCTActionCodec()
 
 

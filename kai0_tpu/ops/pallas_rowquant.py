@@ -15,9 +15,13 @@ plus the int8 + scale writes. Rows are independent, so the grid only tiles the
 row dimension and boundary blocks are safe (out-of-bounds rows produce garbage
 scales that are masked on store).
 
-Numerics are bit-identical to ``quant._row_quant``: amax in the input dtype,
-``max(amax, 1e-30)/127`` in f32, ``round(x_f32 / s)`` to int8 — same op order
-and dtypes.
+Numerics use the same op order and dtypes as ``quant._row_quant`` (amax in the
+input dtype, ``max(amax, 1e-30)/127`` in f32, ``round(x_f32 / s)`` to int8) and
+are bit-identical in interpret mode (tests/test_quant.py, which executes via
+XLA). Under real Mosaic lowering the f32 divide/round chain may differ by 1 ulp
+and flip individual int8 codes — treat parity as "within one int8 step" on
+hardware, and run ``scripts/dev/check_rowquant_parity.py`` on-chip before
+relying on ``KAI0_INT8_ROWQUANT=pallas`` for convergence-parity runs.
 
 Dispatch lives in ``quant._row_quant`` (``KAI0_INT8_ROWQUANT=pallas`` on a TPU
 backend); CPU tests run this in interpret mode (tests/test_quant.py).

@@ -444,8 +444,11 @@ def fused_ffn_enabled() -> bool:
     row-chunked op with a hand-written VJP: per chunk the gate/up dots, the LoRA
     rank-16 corrections, the gelu·mul, and the down dot happen back-to-back, so
     only chunk-sized intermediates exist and nothing full-size hits HBM except
-    the op output. Forward numerics are bit-identical to the split path (same
-    chunk boundaries, same op order/dtypes)."""
+    the op output. Forward numerics are bit-identical to the split path when
+    unchunked (c=1: same op order/dtypes); when row-chunked the two
+    compilations can differ by one int8 rounding step
+    (tests/test_quant.py ``test_fused_forward_matches_split_when_row_chunked``,
+    PARITY.md) — not an exact-parity guarantee."""
     return os.environ.get("KAI0_INT8_FFN", "fused") == "fused" and not (
         weight_only_enabled() or _pallas_enabled()
     )

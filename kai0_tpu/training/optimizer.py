@@ -91,15 +91,44 @@ class RsqrtDecaySchedule:
         return at_step
 
 
+def _stochastic_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
+    """f32 → bf16 stochastic rounding: add 16 uniform low bits, truncate.
+
+    bf16's bit pattern is the top 16 bits of f32, so ``trunc(bits(x) + U[0,2^16))``
+    rounds up with probability equal to the discarded fraction — an *unbiased*
+    downcast (E[sr(x)] = x). NaN/±inf pass through untouched (their mantissa
+    perturbation stays within the NaN space or is masked below).
+    """
+    xf = x.astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(xf, jnp.uint32)
+    rnd = jax.random.bits(key, x.shape, jnp.uint16).astype(jnp.uint32)
+    rounded = jax.lax.bitcast_convert_type(
+        ((bits + rnd) >> 16).astype(jnp.uint16), jnp.bfloat16
+    )
+    return jnp.where(jnp.isfinite(xf), rounded, xf.astype(jnp.bfloat16))
+
+
 def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> optax.GradientTransformation:
     """``optax.scale_by_adam`` with both moments *stored* in ``state_dtype``.
 
     The moment math runs in the gradient dtype (f32): each step upcasts m/v,
     applies the standard Adam recurrences + bias correction, and downcasts the
     new moments for storage. With bf16 storage the represented m/v carry 8
-    mantissa bits — relative quantization ~0.4%, halved again through the sqrt
-    on v — while bf16's f32-range exponent avoids the underflow cliff that makes
-    *linear-int8* moment storage unsafe (tiny v quantized to 0 → update ~ m/eps).
+    mantissa bits, and bf16's f32-range exponent avoids the underflow cliff that
+    makes *linear-int8* moment storage unsafe (tiny v quantized to 0 → update ~
+    m/eps).
+
+    The downcast differs per moment. ``mu`` rounds to nearest: with 1−b1 = 0.1
+    its per-step increment is ~10% of its magnitude — far above bf16's half-ulp
+    (~0.2%) — so nearest rounding loses nothing. ``nu`` CANNOT use nearest
+    rounding: with 1−b2 = 0.05 (or the reference's long-horizon 1e-3 regimes)
+    the increment (1−b2)·(g²−v) drops below half-ulp whenever g² is within a
+    few × of v, the store discards it every step, and nu stagnates — silently
+    acting like a much larger b2. It uses *stochastic* rounding instead
+    (``_stochastic_round_bf16``): unbiased per step, so sub-ulp increments
+    survive in expectation and the EMA tracks its f32 trajectory (long-horizon
+    A/B in tests/test_optimizer.py). The SR key is derived from (count, leaf
+    index) — fully deterministic given the step.
 
     Why it exists: the π₀.₅ LoRA fine-tune trains the full SigLIP tower
     (reference freeze filter only matches ``.*llm.*``), so a 16 GB v5e carries
@@ -126,8 +155,18 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
         c1 = 1 - b1**count
         c2 = 1 - b2**count
         out = jax.tree.map(lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu)
-        compact = lambda t: jax.tree.map(lambda x: x.astype(state_dtype), t)  # noqa: E731
-        return out, optax.ScaleByAdamState(count=count, mu=compact(mu), nu=compact(nu))
+        mu_c = jax.tree.map(lambda x: x.astype(state_dtype), mu)
+        if state_dtype == jnp.bfloat16:
+            leaves, treedef = jax.tree.flatten(nu)
+            # rbg: the TPU-native counter RNG — ~4× cheaper than threefry for the
+            # ~400M nu elements of a full-size tower, and fold_in-deterministic.
+            base = jax.random.fold_in(jax.random.key(0x6B61, impl="rbg"), count)
+            nu_c = treedef.unflatten(
+                [_stochastic_round_bf16(v, jax.random.fold_in(base, i)) for i, v in enumerate(leaves)]
+            )
+        else:
+            nu_c = jax.tree.map(lambda x: x.astype(state_dtype), nu)
+        return out, optax.ScaleByAdamState(count=count, mu=mu_c, nu=nu_c)
 
     return optax.GradientTransformation(init, update)
 

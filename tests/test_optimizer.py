@@ -146,3 +146,63 @@ def test_adamw_compact_state_tracks_f32_and_stores_bf16():
         p_f32_compact,
         p_ref,
     )
+
+
+def test_stochastic_round_bf16_is_unbiased_and_exact_on_representables():
+    """E[sr(x)] = x for values between bf16 grid points; exact on grid points."""
+    key = jax.random.key(0)
+    # A value exactly 1/4 of the way between two bf16 neighbours.
+    lo = jnp.float32(jnp.bfloat16(1.0))
+    hi = jnp.float32(jnp.nextafter(jnp.bfloat16(1.0), jnp.bfloat16(2.0)))
+    x = jnp.full((20000,), lo + 0.25 * (hi - lo), jnp.float32)
+    r = opt._stochastic_round_bf16(x, key).astype(jnp.float32)
+    frac_up = float(jnp.mean(r == hi))
+    assert set(np.unique(np.asarray(r))) <= {float(lo), float(hi)}
+    assert abs(frac_up - 0.25) < 0.02, frac_up
+    # Representable values never move, regardless of key.
+    grid = jnp.array([0.0, 1.0, -3.5, 2.0**-30, -(2.0**20)], jnp.float32)
+    assert np.array_equal(
+        np.asarray(opt._stochastic_round_bf16(grid, key).astype(jnp.float32)), np.asarray(grid)
+    )
+    # Non-finite values pass through.
+    weird = jnp.array([jnp.inf, -jnp.inf, jnp.nan], jnp.float32)
+    out = np.asarray(opt._stochastic_round_bf16(weird, key).astype(jnp.float32))
+    assert out[0] == np.inf and out[1] == -np.inf and np.isnan(out[2])
+
+
+def test_bf16_nu_does_not_stagnate_under_subulp_increments():
+    """The ADVICE round-2 finding: with nearest rounding, once g² is within a
+    few × of nu the per-step increment (1-b2)(g²-nu) is below bf16's half-ulp
+    and nu freezes. Stochastic rounding keeps the EMA tracking its f32 value.
+
+    Regime: b2=0.999 (1-b2 = 1e-3, well below bf16's ~4e-3 ulp), constant g."""
+    b2 = 0.999
+    g = jnp.full((4096,), 1e-3, jnp.float32)
+    gsq = float(g[0]) ** 2
+
+    tx = opt._scale_by_adam_compact(b1=0.9, b2=b2, eps=1e-8, state_dtype="bfloat16")
+    state = tx.init({"w": g})
+    # Start nu at 50% of its fixed point: every nearest-rounded store from here
+    # on discards the increment (1e-3 · gap < half-ulp once gap < ~2·v).
+    state = state._replace(nu={"w": jnp.full_like(g, 0.5 * gsq).astype(jnp.bfloat16)})
+    update = jax.jit(lambda s: tx.update({"w": g}, s)[1])
+    for _ in range(1500):
+        state = update(state)
+    nu_sr = float(jnp.mean(state.nu["w"].astype(jnp.float32)))
+
+    # f32 reference EMA after the same steps.
+    nu_ref = 0.5 * gsq
+    for _ in range(1500):
+        nu_ref = b2 * nu_ref + (1 - b2) * gsq
+    # Nearest rounding stalls at ~0.5·g² (relative error ~45%); SR must track.
+    assert abs(nu_sr - nu_ref) / nu_ref < 0.05, (nu_sr, nu_ref)
+
+
+def test_sr_nu_is_deterministic_given_step():
+    tx = opt._scale_by_adam_compact(b1=0.9, b2=0.95, eps=1e-8, state_dtype="bfloat16")
+    g = {"w": jnp.linspace(-1, 1, 64, dtype=jnp.float32)}
+    s1, s2 = tx.init(g), tx.init(g)
+    for _ in range(3):
+        _, s1 = tx.update(g, s1)
+        _, s2 = tx.update(g, s2)
+    assert np.array_equal(np.asarray(s1.nu["w"]), np.asarray(s2.nu["w"]))

@@ -757,3 +757,22 @@ def test_row_quant_pallas_dispatch(monkeypatch):
     assert quant._rowquant_pallas_enabled() == (jax.default_backend() == "tpu")
     monkeypatch.delenv("KAI0_INT8_ROWQUANT")
     assert not quant._rowquant_pallas_enabled()
+
+
+class TestMixedLoRAFFN:
+    """Gate-only / down-only LoRA param dicts must route to the split path (the
+    fused op threads one 6-factor tuple; ADVICE round-2: gate-only crashed and
+    down-only would have silently dropped the adapter)."""
+
+    @pytest.mark.parametrize("drop", ["linear", "gating_einsum"])
+    def test_partial_lora_matches_split_path(self, drop, monkeypatch):
+        from kai0_tpu.models import lora as _lora
+
+        qparams, x = TestFusedFFN()._make(lora=True)
+        for suffix in ("_lora_a", "_lora_b"):
+            del qparams[drop + suffix]
+        monkeypatch.setenv("KAI0_INT8_FFN", "split")
+        ref = _lora.apply_ffn(qparams, x)
+        monkeypatch.setenv("KAI0_INT8_FFN", "fused")
+        got = _lora.apply_ffn(qparams, x)  # falls back to split: identical
+        np.testing.assert_array_equal(np.asarray(got, np.float32), np.asarray(ref, np.float32))
