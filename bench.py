@@ -111,15 +111,22 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
     return step, pmulti, state, batch, rng
 
 
-def main():
+def select_mode(backend: str, n_chips: int):
+    """Pick the benched configuration: (model, mode, batch_size, fsdp, quantize).
+
+    Factored out of main() so the multi-chip "full" branch is testable without
+    4 TPU chips (tests/test_full_finetune.py compile-checks it on the virtual
+    CPU mesh; scripts/aot_full_finetune.py AOT-compiles the full-size program
+    for a real v5e-8 topology and budgets its HBM).
+    """
     from kai0_tpu.models import pi0 as _pi0
-    from kai0_tpu.parallel import sharding
 
-    backend = jax.default_backend()
-    n_chips = jax.device_count()
     quantize = False
-
     if backend == "tpu" and n_chips >= 4:
+        # FULL fine-tune (the reference's flagship workload: batch 256 on
+        # 8×A100, reference config.py:1185-1188): every param trains, state
+        # FSDP-sharded over all chips, 8 samples/chip (AOT HBM budget in
+        # PERF.md round 3 shows 64/8-chip peaks ~11.4 GiB/device).
         model = _pi0.Pi0Config(pi05=True)
         mode = "full"
         batch_size = 8 * n_chips
@@ -155,6 +162,11 @@ def main():
         # so the default only upgrades the int8 configuration.
         if quantize:
             os.environ.setdefault("KAI0_REMAT", "attn")
+            # Round-3 probe-matrix winners (PERF.md): no FFN row-chunking (c=1,
+            # fits post-round-2 memory work; kills the lax.map chunk-stacking
+            # copies) and a 128-row q-block in the SigLIP dense-MHA backward.
+            os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
+            os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,
@@ -166,6 +178,15 @@ def main():
         mode = "smoke"
         batch_size = 2
         fsdp = 1
+    return model, mode, batch_size, fsdp, quantize
+
+
+def main():
+    from kai0_tpu.parallel import sharding
+
+    backend = jax.default_backend()
+    n_chips = jax.device_count()
+    model, mode, batch_size, fsdp, quantize = select_mode(backend, n_chips)
 
     mesh = sharding.make_mesh(fsdp)
     print(f"bench: backend={backend} chips={n_chips} mode={mode} batch={batch_size}", file=sys.stderr)
@@ -195,11 +216,16 @@ def main():
             jax.profiler.stop_trace()
 
     samples_per_sec_per_chip = batch_size * n_steps / elapsed / n_chips
+    from kai0_tpu import knobs as _knobs
+
     result = {
         "metric": f"pi05_{mode}_finetune_throughput",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec_per_chip / A100_BASELINE_SAMPLES_PER_SEC, 3),
+        # Effective non-default model/ops knobs, so the recorded number states
+        # the configuration that produced it (kai0_tpu.knobs).
+        "knobs": {"int8": quantize, "batch": batch_size, **_knobs.as_dict()},
     }
     print(json.dumps(result))
 

@@ -353,15 +353,24 @@ def _remat_policy(env: str = "KAI0_REMAT"):
       - ``none``: no remat — fastest backward, activations fully resident (fits for
         LoRA fine-tunes / small batches).
     """
-    import os
+    from kai0_tpu import knobs as _knobs
 
-    mode = os.environ.get(env) or os.environ.get("KAI0_REMAT", "nothing")
+    k = _knobs.get()
+    mode = (k.remat_vit if env == "KAI0_REMAT_VIT" else None) or k.remat
     if mode == "none":
         return None
     if mode == "dots":
         return jax.checkpoint_policies.dots_saveable
     if mode == "attn":
         return jax.checkpoint_policies.save_only_these_names("kai0_attn_out")
+    if mode == "attnres":
+        # Save the flash kernels' (out, lse) residuals instead of the post-
+        # projection attention output: the backward then feeds the bwd kernel
+        # directly rather than re-running the fwd kernel to regenerate them
+        # (ops/pallas_attention.py tags). ~Same bytes as ``attn`` (+lse).
+        return jax.checkpoint_policies.save_only_these_names("kai0_attn_res")
+    if mode == "attn+res":
+        return jax.checkpoint_policies.save_only_these_names("kai0_attn_out", "kai0_attn_res")
     if mode == "attn+vitmlp":
         return jax.checkpoint_policies.save_only_these_names("kai0_attn_out", "kai0_vit_mlp_up")
     if mode == "vitmlp":
@@ -370,13 +379,9 @@ def _remat_policy(env: str = "KAI0_REMAT"):
 
 
 def _maybe_remat(fn, env: str = "KAI0_REMAT"):
-    import os
-
-    policy = _remat_policy(env)
-    mode = os.environ.get(env) or os.environ.get("KAI0_REMAT")
-    if policy is None and mode == "none":
+    if _remat_policy(env) is None:
         return fn
-    return jax.checkpoint(fn, policy=policy, prevent_cse=False)
+    return jax.checkpoint(fn, policy=_remat_policy(env), prevent_cse=False)
 
 
 def apply(

@@ -18,13 +18,13 @@ the model compute dtype (bf16), LayerNorms computed by upcasting to f32 internal
 from __future__ import annotations
 
 import dataclasses
-import os
 
 import jax
 from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 import jax.numpy as jnp
 import numpy as np
 
+from kai0_tpu import knobs as _knobs
 from kai0_tpu.ops import attention as _attention
 from kai0_tpu.ops import quant as _quant
 from kai0_tpu.parallel import sharding as _sharding
@@ -184,7 +184,7 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
     wq, wk, wv = (params[s]["kernel"] for s in ("query", "key", "value"))
     w_out = params["out"]["kernel"]
     flat = (
-        os.environ.get("KAI0_VIT_QKV", "headmajor") == "flat"
+        _knobs.get().vit_qkv == "flat"
         and not _quant.is_quant(wq)
         and not _quant.switchback_enabled("attn")
     )
@@ -229,6 +229,20 @@ def _mhsa(params: dict, x: jax.Array, num_heads: int) -> jax.Array:
 
 def _mlp_block(params: dict, x: jax.Array) -> jax.Array:
     dtype = x.dtype
+    if _knobs.get().vit_mlp2d and not (
+        _quant.is_quant(params["Dense_0"]["kernel"]) or _quant.switchback_enabled("mlp")
+    ):
+        # Probe: spell the MLP as rank-2 dots on a flattened [B·T, D] view. The
+        # round-3 trace shows the rank-3 fwd down-projection fusion at ~44% MFU
+        # while its (identical-shape) backward recompute runs at ~93% — testing
+        # whether the rank-3 einsum's chosen layout is the gap.
+        b, t, d = x.shape
+        x2 = x.reshape(b * t, d)
+        x2 = jnp.dot(x2, params["Dense_0"]["kernel"].astype(dtype)) + params["Dense_0"]["bias"].astype(dtype)
+        x2 = _checkpoint_name(x2.reshape(b, t, -1), "kai0_vit_mlp_up").reshape(b * t, -1)
+        x2 = jax.nn.gelu(x2)
+        x2 = jnp.dot(x2, params["Dense_1"]["kernel"].astype(dtype)) + params["Dense_1"]["bias"].astype(dtype)
+        return x2.reshape(b, t, -1)
     x = _einsum("btd,df->btf", x, _cast(params["Dense_0"]["kernel"], dtype), "mlp") + params["Dense_0"]["bias"].astype(dtype)
     # KAI0_REMAT=attn+vitmlp saves this (~79 MB/layer at batch 12): the backward
     # recompute then skips the up-projection matmul — the largest dot in the block
@@ -267,7 +281,7 @@ def apply(params: dict, config: Config, image: jax.Array) -> jax.Array:
     image = jnp.asarray(image, jnp.float32)
     kernel = params["embedding"]["kernel"].astype(jnp.float32)  # [ph, pw, 3, D] (HWIO)
     ph, pw = config.patch_size
-    if os.environ.get("KAI0_VIT_CONV", "conv") == "conv":
+    if _knobs.get().vit_conv == "conv":
         x = jax.lax.conv_general_dilated(
             image,
             kernel,

@@ -48,7 +48,9 @@ def _warn_fallback(name: str, detail: str) -> None:
     one through them produces garbage prompts/actions. Suppressed under pytest
     (the tests exercise the fallbacks on purpose).
     """
-    if name in _WARNED_FALLBACKS or "PYTEST_CURRENT_TEST" in os.environ:
+    from kai0_tpu import knobs as _knobs
+
+    if name in _WARNED_FALLBACKS or _knobs.under_pytest():
         return
     _WARNED_FALLBACKS.add(name)
     logger.warning(
@@ -142,7 +144,9 @@ class HashWordCodec:
 
 
 def _default_text_codec():
-    path = os.environ.get("KAI0_PALIGEMMA_TOKENIZER")
+    from kai0_tpu import knobs as _knobs
+
+    path = _knobs.get().paligemma_tokenizer
     if path and os.path.exists(path):
         try:
             return SentencePieceCodec(path)
@@ -252,7 +256,9 @@ def _default_fast_codec(fast_tokenizer_path: str):
         return AutoProcessor.from_pretrained(fast_tokenizer_path, trust_remote_code=True, local_files_only=True)
     except Exception:  # noqa: BLE001
         pass
-    if os.environ.get("KAI0_ALLOW_HUB") == "1":
+    from kai0_tpu import knobs as _knobs
+
+    if _knobs.get().allow_hub:
         try:
             from transformers import AutoProcessor
 

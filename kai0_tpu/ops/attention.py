@@ -22,6 +22,40 @@ import jax.numpy as jnp
 BIG_NEG = -2.3819763e38  # Gemma's masking constant (gemma/modules.py via reference gemma.py:225)
 
 
+def _shard_map_batch(fn, *arrs):
+    """Run a batch-independent Pallas kernel under the active mesh.
+
+    GSPMD cannot automatically partition Mosaic custom calls ("Mosaic kernels
+    cannot be automatically partitioned") — caught by the v5e-8 topology-AOT of
+    the full fine-tune step (scripts/aot_full_finetune.py, round 3). Attention
+    is independent per batch row, so under a >1-device mesh the kernel runs in
+    a ``shard_map`` over the data axes: each device computes its local batch
+    shard, no collectives. Falls back to replicated specs when the batch does
+    not divide the mesh (e.g. batch-1 multi-chip serving).
+    """
+    from kai0_tpu.parallel import sharding as _sharding
+
+    mesh = _sharding.active_mesh()
+    if mesh is None or mesh.size == 1:
+        return fn(*arrs)
+    from jax.sharding import PartitionSpec as P
+
+    n_data = 1
+    for axis in _sharding.DATA_AXIS:
+        n_data *= mesh.shape[axis]
+    batch = arrs[0].shape[0]
+    if batch % n_data == 0:
+        specs = tuple(P(_sharding.DATA_AXIS, *([None] * (a.ndim - 1))) for a in arrs)
+        out_spec = specs[0]
+    else:
+        specs = tuple(P(*([None] * a.ndim)) for a in arrs)
+        out_spec = specs[0]
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+    return shard_map(fn, mesh=mesh, in_specs=specs, out_specs=out_spec)(*arrs)
+
+
 def mha_reference(
     q: jax.Array,  # [B, T, N, H] already RoPE'd and scaled
     k: jax.Array,  # [B, S, K, H] already RoPE'd
@@ -48,7 +82,7 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, attn_mask: jax.Array, *, use_k
         from kai0_tpu.ops import pallas_attention
 
         try:
-            return pallas_attention.flash_mha(q, k, v, attn_mask)
+            return _shard_map_batch(pallas_attention.flash_mha, q, k, v, attn_mask)
         except Exception:  # noqa: BLE001 - kernel unavailable (e.g. interpret limits): fall back
             return mha_reference(q, k, v, attn_mask)
     return mha_reference(q, k, v, attn_mask)
@@ -71,11 +105,11 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
     """
     b, t, n, h = q.shape
     s = k.shape[1]
-    import os
+    from kai0_tpu import knobs as _knobs
 
     if (
         use_kernel
-        and os.environ.get("KAI0_SIGLIP_ATTN", "kernel") == "kernel"
+        and _knobs.get().siglip_attn == "kernel"
         and jax.default_backend() == "tpu"
         and t % 128 == 0
         and s % 128 == 0
@@ -85,7 +119,7 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
 
         try:
             qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-            return pallas_attention.flash_mhsa(qh, kh, vh).transpose(0, 2, 1, 3)
+            return _shard_map_batch(pallas_attention.flash_mhsa, qh, kh, vh).transpose(0, 2, 1, 3)
         except Exception:  # noqa: BLE001 - kernel unavailable: fall back
             pass
     logits = jnp.einsum("btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32)
@@ -95,13 +129,13 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
 
 def mhsa_dense_hm(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = True) -> jax.Array:
     """Dense MHA in head-major layout [B, N, T, H] (no transposes around the kernel)."""
-    import os
+    from kai0_tpu import knobs as _knobs
 
     b, n, t, h = q.shape
     s = k.shape[2]
     if (
         use_kernel
-        and os.environ.get("KAI0_SIGLIP_ATTN", "kernel") == "kernel"
+        and _knobs.get().siglip_attn == "kernel"
         and jax.default_backend() == "tpu"
         and t % 128 == 0
         and s % 128 == 0
@@ -110,7 +144,7 @@ def mhsa_dense_hm(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool 
         from kai0_tpu.ops import pallas_attention
 
         try:
-            return pallas_attention.flash_mhsa(q, k, v)
+            return _shard_map_batch(pallas_attention.flash_mhsa, q, k, v)
         except Exception:  # noqa: BLE001 - kernel unavailable: fall back
             pass
     logits = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)

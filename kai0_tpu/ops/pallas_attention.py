@@ -28,13 +28,15 @@ bf16 MXU inputs (standard flash-attention precision).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.ad_checkpoint import checkpoint_name as _checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from kai0_tpu import knobs as _knobs
 
 BIG_NEG = -2.3819763e38
 
@@ -268,7 +270,15 @@ def _pick_block_t(t: int) -> int:
     # loop, T≈51) fit one block. KAI0_FLASH_BLOCK_T is an A/B knob (128 doubles the
     # per-cell matmul height at ~17 MiB scoped VMEM — the calls raise the Mosaic
     # limit to 48 MiB when block_t > 64; v5e has 128 MiB).
-    return int(os.environ.get("KAI0_FLASH_BLOCK_T", "64"))
+    return _knobs.get().flash_block_t
+
+
+def _pick_block_t_bwd(t: int) -> int:
+    # The backward kernel has ~2.5× the fwd's matmuls per K/V load: a taller
+    # q-block amortizes the K/V streaming + dk/dv accumulate read-modify-write
+    # across more MXU work. Defaults to the fwd block; independent A/B knob
+    # (measured neutral at 128 on the batch-14 step, PERF.md round 3).
+    return _knobs.get().flash_block_t_bwd or _pick_block_t(t)
 
 
 def _mqa_compiler_params(block_t: int):
@@ -296,6 +306,11 @@ def _flash_mha_vjp_fwd(q, k, v, attn_mask):
     s = k.shape[1]
     mask = _normalize_mask(attn_mask, b, t, s)
     out, lse = _mqa_fwd_impl(q, k.reshape(b, s, h), v.reshape(b, s, h), mask, block_t=_pick_block_t(t))
+    # KAI0_REMAT=attnres saves these kernel residuals, so the backward pass runs
+    # the bwd kernel directly instead of re-executing the fwd kernel to
+    # regenerate (out, lse) — see gemma._remat_policy.
+    out = _checkpoint_name(out, "kai0_attn_res")
+    lse = _checkpoint_name(lse, "kai0_attn_res")
     return out, (q, k, v, mask, out, lse)
 
 
@@ -304,7 +319,8 @@ def _flash_mha_vjp_bwd(residuals, g):
     b, t, n, h = q.shape
     s = k.shape[1]
     dq, dk, dv = _mqa_bwd_impl(
-        q, k.reshape(b, s, h), v.reshape(b, s, h), mask, out, lse, g, block_t=_pick_block_t(t)
+        q, k.reshape(b, s, h), v.reshape(b, s, h), mask, out, lse, g,
+        block_t=_pick_block_t_bwd(t),
     )
     return dq, dk.reshape(k.shape), dv.reshape(v.shape), None
 
@@ -425,8 +441,10 @@ def _mhsa_bwd_impl(q, k, v, out, lse, g):
     b, n, t, h = q.shape
     s = k.shape[2]
     # The backward keeps ~4 [N, T_b, S] f32 tensors live; T_b=64 stays under the
-    # 16 MiB VMEM scoped limit for the SigLIP shapes (N=16, S=256).
-    block_t = min(_mhsa_block_t(t), 64)
+    # 16 MiB VMEM scoped limit for the SigLIP shapes (N=16, S=256) — the call
+    # below raises the limit to 32 MiB, so taller blocks are A/B-able
+    # (128 measured +0.3% on the batch-14 step; bench default, PERF.md round 3).
+    block_t = _knobs.get().siglip_block_t_bwd or min(_mhsa_block_t(t), 64)
     grid = (b, t // block_t)
     dq, dk, dv = pl.pallas_call(
         _mhsa_bwd_kernel,
@@ -477,6 +495,8 @@ def flash_mhsa(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
 
 def _flash_mhsa_vjp_fwd(q, k, v):
     out, lse = _mhsa_fwd_impl(q, k, v)
+    out = _checkpoint_name(out, "kai0_attn_res")
+    lse = _checkpoint_name(lse, "kai0_attn_res")
     return out, (q, k, v, out, lse)
 
 

@@ -36,12 +36,13 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-import os
 import re
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+from kai0_tpu import knobs as _knobs
 
 
 @functools.partial(
@@ -70,10 +71,9 @@ def is_quant(x) -> bool:
     return isinstance(x, QuantArray)
 
 
-def env_flag(name: str, default: str = "0") -> bool:
-    """Shared boolean env parsing for the KAI0_INT8* family ('0'/'false'/'False'/
-    'off'/'no'/'' are false — shell idioms like KAI0_INT8=False must not enable)."""
-    return os.environ.get(name, default).lower() not in ("0", "false", "off", "no", "")
+# CLI-layer boolean env parsing (KAI0_INT8, KAI0_BENCH_*); model knob resolution
+# lives in kai0_tpu.knobs — this re-export keeps the public name stable.
+env_flag = _knobs.env_flag
 
 
 def sq_norm(qa: QuantArray) -> jax.Array:
@@ -143,7 +143,7 @@ def _dequantize_2d(q, s, eqn, orig_shape, orig_dtype):
 
 
 def _bwd_int8_enabled() -> bool:
-    return env_flag("KAI0_INT8_BWD", "1")
+    return _knobs.get().int8_bwd
 
 
 def _pallas_enabled() -> bool:
@@ -154,7 +154,7 @@ def _pallas_enabled() -> bool:
     already tiles the quant-dot-scale chain at ~228 of 394 TOP/s, so there is no
     fusion win to reclaim; see PERF.md). Kept for A/B on other shapes/generations.
     """
-    return env_flag("KAI0_INT8_PALLAS", "0") and jax.default_backend() == "tpu"
+    return _knobs.get().int8_pallas and jax.default_backend() == "tpu"
 
 
 def _rowquant_pallas_enabled() -> bool:
@@ -164,9 +164,12 @@ def _rowquant_pallas_enabled() -> bool:
     reduce fusion, then a round/convert fusion re-reading x) — ~150 ms/step of
     the batch-14 train step at the [rows, mlp_dim] FFN sites (PERF.md round 2).
     The kernel (``pallas_rowquant.row_quant``) does amax/scale/round in VMEM in
-    one HBM sweep, bit-identical numerics.
+    one HBM sweep, bit-identical numerics. Measured end-to-end NEGATIVE on the
+    batch-14 train step (10.70 vs 11.74, PERF.md round 3: the XLA abs_reduce
+    fusions it replaces were also producing the recompute values) — off by
+    default, kept for inference/other shapes.
     """
-    return os.environ.get("KAI0_INT8_ROWQUANT", "xla") == "pallas" and jax.default_backend() == "tpu"
+    return _knobs.get().int8_rowquant == "pallas" and jax.default_backend() == "tpu"
 
 
 def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
@@ -185,7 +188,13 @@ def _row_quant(x: jax.Array) -> tuple[jax.Array, jax.Array]:
 # int32 temporaries — enough to OOM a 16 GB chip that runs fine in bf16. Row-chunk
 # any qmm whose per-buffer temporaries exceed this budget; lax.map serializes the
 # chunks so only one chunk's temporaries are live at a time.
-_CHUNK_BYTES = int(os.environ.get("KAI0_INT8_CHUNK_MB", "288")) * 2**20
+# Tests may pin an exact byte budget via this module attribute; None defers to
+# the KAI0_INT8_CHUNK_MB knob (kai0_tpu.knobs).
+_CHUNK_BYTES: int | None = None
+
+
+def _chunk_bytes() -> int:
+    return _CHUNK_BYTES if _CHUNK_BYTES is not None else _knobs.get().int8_chunk_mb * 2**20
 
 
 def _row_chunks(m: int, width: int) -> int:
@@ -194,7 +203,7 @@ def _row_chunks(m: int, width: int) -> int:
     for c in (1, 2, 3, 4, 6, 8):
         if m % c == 0:
             best = c
-            if (m // c) * width * 4 <= _CHUNK_BYTES:
+            if (m // c) * width * 4 <= _chunk_bytes():
                 return c
     return best
 
@@ -281,7 +290,7 @@ def _row_chunked(f, x, width: int, extra=None):
         return f(x) if extra is None else f(x, extra)
     xs = x.reshape(c, m // c, *x.shape[1:])
     es = None if extra is None else extra.reshape(c, m // c, *extra.shape[1:])
-    if env_flag("KAI0_INT8_UNROLL", "0"):
+    if _knobs.get().int8_unroll:
         # Unrolled chunks + concatenate instead of lax.map: the map's stacked-output
         # while-loop carry is zero-initialized with a materialized [m, width] write
         # (~0.6 ms per 380 MB buffer, ~54 ms/step across the gate/up/down sites at
@@ -293,7 +302,7 @@ def _row_chunked(f, x, width: int, extra=None):
         ys = []
         for i in range(c):
             xi = xs[i]
-            if ys and env_flag("KAI0_INT8_UNROLL_BARRIER", "0"):
+            if ys and _knobs.get().int8_unroll_barrier:
                 xi, _ = jax.lax.optimization_barrier((xi, ys[-1]))
             ys.append(f(xi) if es is None else f(xi, es[i]))
         return jnp.concatenate(ys, axis=0)
@@ -312,7 +321,7 @@ def weight_only_enabled() -> bool:
     activations (which grow with batch — xprof: ~36 ms/chunk at serve batch 4,
     PERF.md) and removes activation rounding error entirely; gives up the int8
     MXU rate, which only matters on the compute-bound training path."""
-    return env_flag("KAI0_INT8_WO", "0")
+    return _knobs.get().int8_weight_only
 
 
 def _qmm_fwd_impl(x, add, q, s):
@@ -404,7 +413,7 @@ def apply_quant_split(qa: QuantArray, x: jax.Array, adds=None) -> tuple[jax.Arra
     x2 = x.reshape(int(np.prod(batch_shape)), -1)
     rest_shape = [qa.orig_shape[rhs.index(l)] for l in w_other[1:]]
     cols = int(np.prod(rest_shape))
-    if env_flag("KAI0_INT8_SPLITDOT", "1"):
+    if _knobs.get().int8_splitdot:
         # One qmm per slice on a column-sliced weight: the stacked axis is outermost
         # in the quantized column layout, so slice i of (q, s) is a contiguous column
         # block. Slicing the *weight* copies ≤q_bytes/n per layer (int8, cheap);
@@ -449,7 +458,7 @@ def fused_ffn_enabled() -> bool:
     compilations can differ by one int8 rounding step
     (tests/test_quant.py ``test_fused_forward_matches_split_when_row_chunked``,
     PARITY.md) — not an exact-parity guarantee."""
-    return os.environ.get("KAI0_INT8_FFN", "fused") == "fused" and not (
+    return _knobs.get().int8_ffn == "fused" and not (
         weight_only_enabled() or _pallas_enabled()
     )
 
@@ -621,7 +630,7 @@ def switchback_enabled(site: str = "") -> bool:
     their int8 economics differ (K=1152/4304 MLP dots vs lane-padded head-dim-72
     attention projections).
     """
-    spec = os.environ.get("KAI0_INT8_SB", "0")
+    spec = _knobs.get().int8_switchback
     if spec.lower() in ("0", "false", "off", "no", ""):
         return False
     if spec.lower() in ("1", "true", "on", "yes", "all"):
@@ -736,7 +745,7 @@ def _active_sites(default_spec: str = "all") -> tuple[tuple[re.Pattern, str, boo
     """Gemma quant sites filtered by KAI0_INT8_SITES (comma-separated substrings of
     the site patterns; a leading ``-`` excludes, e.g. ``-gating`` keeps the FFN
     gate/up projections in bf16; ``all`` — the default — selects everything)."""
-    spec = os.environ.get("KAI0_INT8_SITES", default_spec)
+    spec = _knobs.get().int8_sites or default_spec
     if not spec or spec == "all":
         return _GEMMA_QUANT_SITES
     keys = [k.strip() for k in spec.split(",") if k.strip()]
@@ -765,7 +774,7 @@ def _siglip_inference_sites() -> tuple[tuple[re.Pattern, str, bool], ...]:
     head-major transposes on the attention projections) cost more than the
     2x int8 MXU rate returns — the same economics that sank SwitchBack for the
     *training* tower. Kept env-gated for bigger vision variants/batches."""
-    spec = os.environ.get("KAI0_INT8_SIGLIP", "0").strip().lower()
+    spec = _knobs.get().int8_siglip.strip().lower()
     if spec in ("0", "false", "off", "no", ""):
         return ()
     if spec in ("1", "true", "on", "yes", "all"):

@@ -57,6 +57,11 @@ def set_mesh(mesh: jax.sharding.Mesh):
         _MeshState.active_mesh = None
 
 
+def active_mesh() -> jax.sharding.Mesh | None:
+    """The ambient mesh installed by ``set_mesh`` (None outside a mesh context)."""
+    return _MeshState.active_mesh
+
+
 def activation_sharding_constraint(pytree):
     """Pin activations' batch dim to the data axes. No-op when no mesh is active."""
     if _MeshState.active_mesh is None:

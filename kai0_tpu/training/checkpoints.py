@@ -89,6 +89,16 @@ def save_state(
     def save_assets(directory: pathlib.Path):
         if norm_stats is not None and asset_id is not None:
             _normalize.save(pathlib.Path(directory) / asset_id, norm_stats)
+        # Record the effective model/ops knobs (kai0_tpu.knobs): a checkpoint
+        # states the configuration it was trained with (VERDICT round-2 item —
+        # knobs used to be invisible to checkpoint metadata).
+        import json
+
+        from kai0_tpu import knobs as _knobs
+
+        (pathlib.Path(directory) / "knobs.json").write_text(
+            json.dumps(_knobs.as_dict(full=True), indent=1, sort_keys=True)
+        )
 
     train_state, params = _split_params(state)
     # Int8-quantized frozen leaves are saved dequantized so the on-disk params keep

@@ -62,7 +62,10 @@ def _convert(raw: str, current, annotation):
 
 def _annotation_type(annotation):
     if isinstance(annotation, str):
-        return str
+        # Postponed evaluation (from __future__ import annotations) stores field
+        # types as strings; resolve the common scalar forms ("int | None", ...).
+        base = annotation.split("|")[0].strip()
+        return {"int": int, "float": float, "bool": bool, "str": str}.get(base, str)
     origin = typing.get_origin(annotation)
     if origin is typing.Union or isinstance(annotation, types.UnionType):
         for arg in typing.get_args(annotation):

@@ -20,6 +20,7 @@ import os
 import pathlib
 from typing import Any, Protocol
 
+from kai0_tpu import knobs as _knobs
 from kai0_tpu import transforms as _transforms
 from kai0_tpu.models import model as _model
 from kai0_tpu.models import pi0 as pi0_config
@@ -259,29 +260,34 @@ class TrainConfig:
     fsdp_min_size_mbytes: int = 4
 
     # Rematerialization policy for the gemma layer scans (see gemma._remat_policy:
-    # nothing | attn | attn+vitmlp | vitmlp | dots | none) and an optional separate
-    # policy for the SigLIP tower. None defers to the KAI0_REMAT / KAI0_REMAT_VIT
-    # env vars (CLI-level overrides); a value set here is authoritative and is what
-    # a run's metadata records — reproducible from the config name alone.
+    # nothing | attn | attnres | attn+res | attn+vitmlp | vitmlp | dots | none) and
+    # an optional separate policy for the SigLIP tower. None defers to knobs/env;
+    # a value set here is authoritative for the config and is what a run's
+    # metadata records — reproducible from the config name alone. (Kept as
+    # top-level fields for CLI back-compat; equivalent to knobs.remat/remat_vit.)
     remat: str | None = None
     remat_vit: str | None = None
+    # Full model/ops knob override set (kai0_tpu.knobs.Knobs): every performance
+    # knob as a typed config field, overridable on the CLI by dotted path
+    # (``--knobs.int8_ffn=split``). Precedence: env var > this field > default.
+    knobs: _knobs.Knobs = dataclasses.field(default_factory=_knobs.Knobs)
 
-    def apply_model_knobs(self) -> dict[str, str]:
-        """Resolve config-level model knobs into the env the model code reads.
+    def apply_model_knobs(self) -> dict:
+        """Install this config's knob overrides as the process-wide config layer.
 
-        Called once per entry point (train / bench / dryrun) BEFORE any tracing.
-        Env vars already set by the user win over config values (CLI override);
-        returns the effective mapping for logging/metadata.
+        Called once per entry point (train / bench / dryrun / serve) BEFORE any
+        tracing. Env vars set by the user win over config values (the CLI
+        layer); returns the *effective* non-default mapping, which entry points
+        record into run metadata / checkpoint metadata / the bench JSON.
         """
-        import os
-
-        effective = {}
-        for env, value in (("KAI0_REMAT", self.remat), ("KAI0_REMAT_VIT", self.remat_vit)):
-            if value is not None:
-                os.environ.setdefault(env, value)
-            if os.environ.get(env):
-                effective[env] = os.environ[env]
-        effective["quantize_frozen"] = str(self.quantize_frozen)
+        overrides = self.knobs
+        if self.remat is not None and overrides.remat is None:
+            overrides = dataclasses.replace(overrides, remat=self.remat)
+        if self.remat_vit is not None and overrides.remat_vit is None:
+            overrides = dataclasses.replace(overrides, remat_vit=self.remat_vit)
+        _knobs.configure(overrides)
+        effective = _knobs.as_dict()
+        effective["quantize_frozen"] = self.quantize_frozen
         return effective
 
     @property

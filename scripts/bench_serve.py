@@ -38,9 +38,24 @@ def main():
     ap.add_argument("--num_steps", type=int, default=10)
     ap.add_argument(
         "--model",
-        choices=["pi05", "pi0_fast"],
+        choices=["pi05", "pi0_fast", "pi0_rtc"],
         default="pi05",
-        help="pi05: 10-step Euler denoise; pi0_fast: autoregressive token decode",
+        help="pi05: 10-step Euler denoise; pi0_fast: autoregressive token decode; "
+        "pi0_rtc: real-time-chunking guided denoise (vjp guidance against the "
+        "previous action chunk, reference pi0_rtc.py:233-360)",
+    )
+    ap.add_argument(
+        "--rtc_delay",
+        type=int,
+        default=4,
+        help="pi0_rtc inference_delay in action steps (reference client: "
+        "ceil(inference_time × publish_rate), ~4 at 25-30 Hz publish)",
+    )
+    ap.add_argument(
+        "--rtc_execute_horizon",
+        type=int,
+        default=25,
+        help="pi0_rtc execute_horizon (steps of the previous chunk executed per cycle)",
     )
     ap.add_argument(
         "--max_decoding_steps",
@@ -81,6 +96,10 @@ def main():
 
     if args.model == "pi0_fast":
         config = _pi0_fast.Pi0FASTConfig()
+    elif args.model == "pi0_rtc":
+        from kai0_tpu.models import pi0_rtc as _pi0_rtc
+
+        config = _pi0_rtc.Pi0RTCConfig(pi05=True)
     else:
         config = _pi0.Pi0Config(pi05=True)
     if args.max_token_len is not None:
@@ -109,6 +128,20 @@ def main():
 
     if args.model == "pi0_fast":
         sample_kwargs = {"max_decoding_steps": args.max_decoding_steps, "temperature": args.temperature}
+    elif args.model == "pi0_rtc":
+        # The marquee deployment mode: guided denoise against the previously
+        # returned chunk. prev_action_chunk/delay are traced values in the same
+        # jitted program a serving process would run each cycle.
+        prev = jax.random.uniform(
+            jax.random.key(7), (args.batch, config.action_horizon, config.action_dim),
+            minval=-1.0, maxval=1.0, dtype=jnp.float32,
+        )
+        sample_kwargs = {
+            "num_steps": args.num_steps,
+            "prev_action_chunk": prev,
+            "inference_delay": args.rtc_delay,
+            "execute_horizon": args.rtc_execute_horizon,
+        }
     else:
         sample_kwargs = {"num_steps": args.num_steps}
 
