@@ -54,11 +54,21 @@ def main() -> None:
     parser.add_argument("--resolution", type=int, nargs=2, default=(480, 640))
     parser.add_argument("--num-batches", type=int, default=20)
     parser.add_argument("--dataset", default=None, help="Existing LeRobot root (skips synthesis)")
+    parser.add_argument(
+        "--cpu",
+        action="store_true",
+        help="keep batches on CPU devices — lets the loader run CONCURRENTLY with a "
+        "TPU train process (one TPU process at a time on this host) to measure "
+        "loader+train core contention (VERDICT round-2 item 9)",
+    )
     args = parser.parse_args()
 
     import dataclasses
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import data_loader as _data_loader

@@ -81,7 +81,11 @@ def main():
     ap.add_argument("--e2e", action="store_true",
                     help="serve through a localhost WebsocketPolicyServer and report "
                          "client-observed per-chunk latency percentiles")
-    ap.add_argument("--requests", type=int, default=30, help="--e2e request count")
+    ap.add_argument("--requests", type=int, default=30, help="--e2e request count (per client)")
+    ap.add_argument("--clients", type=int, default=1,
+                    help="--e2e concurrent client threads (latency under multi-robot load)")
+    ap.add_argument("--max_batch", type=int, default=1,
+                    help="--e2e server-side request coalescing (serving/batching.py)")
     ap.add_argument("--port", type=int, default=18731)
     ap.add_argument("--dummy", action="store_true",
                     help="--e2e with the debug-size model (runs anywhere, incl. CPU)")
@@ -205,32 +209,52 @@ def run_e2e(args):
             config, tmp, params=params, warmup=True,
             sample_kwargs={"num_steps": args.num_steps} if not args.dummy else {"num_steps": 2},
             default_prompt="fold the cloth",
+            max_batch=args.max_batch,
         )
 
     server = WebsocketPolicyServer(policy, host="127.0.0.1", port=args.port)
     threading.Thread(target=server.serve_forever, daemon=True).start()
 
-    client = WebsocketClientPolicy(host="127.0.0.1", port=args.port)
     example = make_agilex_example()
 
-    client_ms, infer_ms, prev_total_ms = [], [], []
-    for i in range(args.requests + 2):
-        t0 = time.monotonic()
-        out = client.infer(dict(example))
-        dt = (time.monotonic() - t0) * 1000
-        if i < 2:  # warm the socket + any residual jits
-            continue
-        client_ms.append(dt)
-        infer_ms.append(out["server_timing"]["infer_ms"])
-        if "prev_total_ms" in out["server_timing"]:
-            prev_total_ms.append(out["server_timing"]["prev_total_ms"])
+    def drive(results: list):
+        client = WebsocketClientPolicy(host="127.0.0.1", port=args.port)
+        client_ms, infer_ms, prev_total_ms = [], [], []
+        for i in range(args.requests + 2):
+            t0 = time.monotonic()
+            out = client.infer(dict(example))
+            dt = (time.monotonic() - t0) * 1000
+            if i < 2:  # warm the socket + any residual jits
+                continue
+            client_ms.append(dt)
+            infer_ms.append(out["server_timing"]["infer_ms"])
+            if "prev_total_ms" in out["server_timing"]:
+                prev_total_ms.append(out["server_timing"]["prev_total_ms"])
+        results.append((client_ms, infer_ms, prev_total_ms))
+
+    results: list = []
+    t_all = time.monotonic()
+    if args.clients == 1:
+        drive(results)
+    else:
+        threads = [threading.Thread(target=drive, args=(results,)) for _ in range(args.clients)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    wall = time.monotonic() - t_all
+
+    client_ms = [x for r in results for x in r[0]]
+    infer_ms = [x for r in results for x in r[1]]
+    prev_total_ms = [x for r in results for x in r[2]]
 
     def pct(xs, q):
-        return float(np.percentile(np.asarray(xs), q))
+        return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
 
     mode = "int8" if args.int8 else "bf16"
     print(
-        f"e2e[{mode}] {len(client_ms)} chunks: "
+        f"e2e[{mode}] clients={args.clients} max_batch={args.max_batch} "
+        f"{len(client_ms)} chunks ({len(client_ms) / wall:.1f} chunks/s aggregate): "
         f"client p50={pct(client_ms, 50):.1f} p95={pct(client_ms, 95):.1f} ms | "
         f"server infer p50={pct(infer_ms, 50):.1f} p95={pct(infer_ms, 95):.1f} ms | "
         f"server total p50={pct(prev_total_ms, 50):.1f} ms"
