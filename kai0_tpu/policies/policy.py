@@ -87,6 +87,7 @@ class Policy:
         return self._model_config
 
     def infer(self, obs: dict, *, noise: np.ndarray | None = None) -> dict:
+        t_start = time.monotonic()
         # Copy: transforms may modify inputs in place.
         inputs = jax.tree.map(lambda x: x, obs)
         inputs = self._input_transform(inputs)
@@ -116,7 +117,16 @@ class Policy:
         model_time = time.monotonic() - start_time
 
         outputs = self._output_transform(outputs)
-        outputs["policy_timing"] = {"infer_ms": model_time * 1000}
+        # infer_ms keeps the reference's semantics (model call incl. device
+        # fetch, reference policy.py:119-121); transform_ms isolates the
+        # host-side transform chain so a co-located p50 can be composed from
+        # per-component measurements (transform_ms + device-side ms/chunk +
+        # websocket overhead) instead of tunnel-floor subtraction — PERF.md
+        # "Serving latency" round 3.
+        outputs["policy_timing"] = {
+            "infer_ms": model_time * 1000,
+            "transform_ms": (time.monotonic() - t_start - model_time) * 1000,
+        }
         return outputs
 
     def infer_batch(
