@@ -150,19 +150,23 @@ def test_registry_configs_instantiate():
 
 
 def test_apply_model_knobs(monkeypatch):
-    """Config-level remat knobs reach the env the model reads; explicit env wins."""
+    """Config-level remat knobs install the knobs config layer; explicit env wins."""
     import dataclasses
-    import os
 
+    from kai0_tpu import knobs as _knobs
     from kai0_tpu.training import config as _config
 
     monkeypatch.delenv("KAI0_REMAT", raising=False)
     monkeypatch.delenv("KAI0_REMAT_VIT", raising=False)
     cfg = dataclasses.replace(_config.get_config("debug"), remat="attn", remat_vit="vitmlp")
-    eff = cfg.apply_model_knobs()
-    assert os.environ["KAI0_REMAT"] == "attn" and os.environ["KAI0_REMAT_VIT"] == "vitmlp"
-    assert eff["KAI0_REMAT"] == "attn"
+    try:
+        eff = cfg.apply_model_knobs()
+        assert _knobs.get().remat == "attn" and _knobs.get().remat_vit == "vitmlp"
+        assert eff["remat"] == "attn" and eff["remat_vit"] == "vitmlp"
 
-    monkeypatch.setenv("KAI0_REMAT", "none")  # CLI override beats config
-    eff = cfg.apply_model_knobs()
-    assert eff["KAI0_REMAT"] == "none"
+        monkeypatch.setenv("KAI0_REMAT", "none")  # CLI override beats config
+        eff = cfg.apply_model_knobs()
+        assert eff["remat"] == "none"
+        assert _knobs.get().remat == "none"
+    finally:
+        _knobs.configure(None)
