@@ -96,6 +96,7 @@ class Policy:
             # cache, so bucketing applies only to the flow-matching models (no
             # token_ar_mask), where trailing prompt padding is inert.
             inputs = _trim_prompt_to_bucket(inputs, self._prompt_buckets)
+        t_staged = time.monotonic()
         inputs = jax.tree.map(lambda x: jnp.asarray(x)[np.newaxis, ...], inputs)
         self._rng, sample_rng = jax.random.split(self._rng)
 
@@ -114,18 +115,22 @@ class Policy:
         actions = self._sample_actions(self._params, sample_rng, observation, **sample_kwargs)
         outputs = {"state": inputs["state"], "actions": actions}
         outputs = jax.tree.map(lambda x: np.asarray(x[0, ...]), outputs)
-        model_time = time.monotonic() - start_time
+        t_fetched = time.monotonic()
+        model_time = t_fetched - start_time
 
         outputs = self._output_transform(outputs)
+        t_end = time.monotonic()
         # infer_ms keeps the reference's semantics (model call incl. device
-        # fetch, reference policy.py:119-121); transform_ms isolates the
-        # host-side transform chain so a co-located p50 can be composed from
-        # per-component measurements (transform_ms + device-side ms/chunk +
-        # websocket overhead) instead of tunnel-floor subtraction — PERF.md
-        # "Serving latency" round 3.
+        # fetch, reference policy.py:119-121). transform_ms is the PURE
+        # host-side transform chain (numpy resize/tokenize/normalize + output
+        # unnormalize); stage_ms (host→device staging) is separate because over
+        # a tunneled TPU it is RPC-dominated while co-located it is ~µs — the
+        # co-located p50 composes as transform_ms + device-side ms/chunk +
+        # websocket overhead (PERF.md "Serving latency" round 3).
         outputs["policy_timing"] = {
             "infer_ms": model_time * 1000,
-            "transform_ms": (time.monotonic() - t_start - model_time) * 1000,
+            "transform_ms": ((t_staged - t_start) + (t_end - t_fetched)) * 1000,
+            "stage_ms": (start_time - t_staged) * 1000,
         }
         return outputs
 

@@ -219,7 +219,7 @@ def run_e2e(args):
 
     def drive(results: list):
         client = WebsocketClientPolicy(host="127.0.0.1", port=args.port)
-        client_ms, infer_ms, prev_total_ms, transform_ms = [], [], [], []
+        client_ms, infer_ms, prev_total_ms, transform_ms, stage_ms = [], [], [], [], []
         for i in range(args.requests + 2):
             t0 = time.monotonic()
             out = client.infer(dict(example))
@@ -230,9 +230,10 @@ def run_e2e(args):
             infer_ms.append(out["server_timing"]["infer_ms"])
             if "transform_ms" in out["server_timing"]:
                 transform_ms.append(out["server_timing"]["transform_ms"])
+                stage_ms.append(out["server_timing"].get("stage_ms", 0.0))
             if "prev_total_ms" in out["server_timing"]:
                 prev_total_ms.append(out["server_timing"]["prev_total_ms"])
-        results.append((client_ms, infer_ms, prev_total_ms, transform_ms))
+        results.append((client_ms, infer_ms, prev_total_ms, transform_ms, stage_ms))
 
     results: list = []
     t_all = time.monotonic()
@@ -250,6 +251,7 @@ def run_e2e(args):
     infer_ms = [x for r in results for x in r[1]]
     prev_total_ms = [x for r in results for x in r[2]]
     transform_ms = [x for r in results for x in r[3]]
+    stage_ms = [x for r in results for x in r[4]]
 
     def pct(xs, q):
         return float(np.percentile(np.asarray(xs), q)) if xs else float("nan")
@@ -260,7 +262,7 @@ def run_e2e(args):
         f"{len(client_ms)} chunks ({len(client_ms) / wall:.1f} chunks/s aggregate): "
         f"client p50={pct(client_ms, 50):.1f} p95={pct(client_ms, 95):.1f} ms | "
         f"server infer p50={pct(infer_ms, 50):.1f} p95={pct(infer_ms, 95):.1f} ms | "
-        f"transforms p50={pct(transform_ms, 50):.1f} ms | "
+        f"transforms p50={pct(transform_ms, 50):.1f} ms (staging {pct(stage_ms, 50):.1f}) | "
         f"server total p50={pct(prev_total_ms, 50):.1f} ms"
     )
 
