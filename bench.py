@@ -166,7 +166,7 @@ def select_mode(backend: str, n_chips: int):
             # fits post-round-2 memory work; kills the lax.map chunk-stacking
             # copies) and a 128-row q-block in the SigLIP dense-MHA backward.
             os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
-            os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
+            os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "256")
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,

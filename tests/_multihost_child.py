@@ -104,8 +104,19 @@ def main() -> None:
         out_shardings=(state_sharding, replicated),
         donate_argnums=(1,),
     )
+    # Compile ahead-of-time, then align both processes with a coordination
+    #-service barrier (KV store, not gloo) immediately before execution: the
+    # gloo context is created lazily at the FIRST cross-process collective and
+    # its address exchange has a hardcoded ~30 s window — on a 1-vCPU host the
+    # children can reach that point >30 s apart (e.g. one hits the persistent
+    # XLA cache and the other compiles), which times out the rendezvous.
     with sharding.set_mesh(mesh):
-        new_state, info = ptrain_step(rng, train_state, batch)
+        compiled = ptrain_step.lower(rng, train_state, batch).compile()
+    from jax._src import distributed as _distributed
+
+    _distributed.global_state.client.wait_at_barrier("kai0_pre_step", 600_000)
+    with sharding.set_mesh(mesh):
+        new_state, info = compiled(rng, train_state, batch)
     jax.block_until_ready(new_state.params)
     loss = float(info["loss"])
     assert jnp.isfinite(loss), loss
