@@ -51,6 +51,7 @@ class Knobs:
     # --- int8 quantized base ---
     int8_bwd: bool | None = None
     int8_pallas: bool | None = None
+    int8_pallas_ffn: bool | None = None  # LoRA-epilogue kernel inside the fused FFN
     int8_rowquant: str | None = None  # xla | pallas
     int8_chunk_mb: int | None = None
     int8_unroll: bool | None = None
@@ -78,6 +79,7 @@ _ENV = {
     "flash_block_t_bwd": "KAI0_FLASH_BLOCK_T_BWD",
     "int8_bwd": "KAI0_INT8_BWD",
     "int8_pallas": "KAI0_INT8_PALLAS",
+    "int8_pallas_ffn": "KAI0_INT8_PALLAS_FFN",
     "int8_rowquant": "KAI0_INT8_ROWQUANT",
     "int8_chunk_mb": "KAI0_INT8_CHUNK_MB",
     "int8_unroll": "KAI0_INT8_UNROLL",
@@ -104,6 +106,7 @@ _DEFAULTS = {
     "flash_block_t_bwd": 0,
     "int8_bwd": True,
     "int8_pallas": False,
+    "int8_pallas_ffn": False,
     "int8_rowquant": "xla",
     "int8_chunk_mb": 288,
     "int8_unroll": False,

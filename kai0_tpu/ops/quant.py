@@ -157,6 +157,22 @@ def _pallas_enabled() -> bool:
     return _knobs.get().int8_pallas and jax.default_backend() == "tpu"
 
 
+def _pallas_ffn_enabled() -> bool:
+    """LoRA-epilogue Pallas matmul inside the fused FFN (``KAI0_INT8_PALLAS_FFN=1``).
+
+    The fused FFN's rank-16 LoRA corrections are XLA dots whose [rows, mlp_dim]
+    bf16 outputs must materialize before the add (a dot cannot be a fusion
+    producer): ~49 ms/step of pure HBM traffic at batch 14 across fwd + the
+    backward's gate/up recompute (PERF.md round-3 trace). With this knob the
+    gate/up/down base dots run as ``pallas_quant.int8_matmul_lora``, which adds
+    the LoRA term per output tile in the epilogue (one [bm, r]×[r, bn] MXU op,
+    never touching HBM). Numerics match the XLA spelling exactly on-chip
+    (scripts/dev/check_pallas_ffn_parity.py); CPU interpret mode may differ by
+    isolated 1-bf16-ulp flips (tests/test_quant.py ``_assert_bf16_ulp_close``).
+    """
+    return _knobs.get().int8_pallas_ffn and jax.default_backend() == "tpu"
+
+
 def _rowquant_pallas_enabled() -> bool:
     """One-pass Pallas row quantization (``KAI0_INT8_ROWQUANT=pallas``).
 
@@ -466,6 +482,13 @@ def fused_ffn_enabled() -> bool:
 def _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, lora):
     """One chunk's gate/up projections (+LoRA), matching the split path bitwise."""
     dtype = x_c.dtype
+    if lora is not None and _pallas_ffn_enabled():
+        from kai0_tpu.ops import pallas_quant
+
+        ag, bg, au, bu = lora[:4]
+        gate = pallas_quant.int8_matmul_lora(xq, qg, sx, sg, jnp.dot(x_c, ag), bg, out_dtype=dtype)
+        up = pallas_quant.int8_matmul_lora(xq, qu, sx, su, jnp.dot(x_c, au), bu, out_dtype=dtype)
+        return gate, up
 
     def base(qw, sw):
         yi = jax.lax.dot_general(xq, qw, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
@@ -482,6 +505,11 @@ def _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, lora):
 def _ffn_down(act, qd, sd, lora):
     """One chunk's down projection (+LoRA), matching ``_qmm_fwd_impl`` bitwise."""
     aq, sa = _row_quant(act)
+    if lora is not None and _pallas_ffn_enabled():
+        from kai0_tpu.ops import pallas_quant
+
+        ad, bd = lora[4:]
+        return pallas_quant.int8_matmul_lora(aq, qd, sa, sd, jnp.dot(act, ad), bd, out_dtype=act.dtype)
     yi = jax.lax.dot_general(aq, qd, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
     yf = yi.astype(jnp.float32) * sa * sd
     if lora is not None:

@@ -572,6 +572,44 @@ def test_pallas_qmm_epilogue_matches_xla_qmm_bf16():
     np.testing.assert_array_equal(np.asarray(xla), np.asarray(pal))
 
 
+def _assert_bf16_ulp_close(got, ref, max_mismatch_frac=1e-3):
+    """Equal except isolated 1-bf16-ulp flips (CPU-interpret f32 reduction-order
+    artifact of the rank-128 zero padding; on real TPU both paths feed the same
+    128-wide MXU accumulation — scripts/dev/check_pallas_ffn_parity.py asserts
+    exact equality on-chip)."""
+    g, r = np.asarray(got, np.float32), np.asarray(ref, np.float32)
+    frac = float((g != r).mean())
+    assert frac <= max_mismatch_frac, f"{frac:.2e} of elements differ"
+    np.testing.assert_allclose(g, r, rtol=2**-7, atol=1e-6)
+
+
+@pytest.mark.parametrize("m,k,n,r", [(300, 257, 130, 16), (96, 2048, 512, 16), (64, 128, 128, 4)])
+def test_pallas_int8_matmul_lora_matches_xla(m, k, n, r):
+    """int8_matmul_lora == base int8 dot + bf16-rounded LoRA dot, matching the
+    fused-FFN XLA spelling `yi*sx*sw + dot(u, b).astype(f32)` (bf16 cast last)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from kai0_tpu.ops import pallas_quant
+
+    rng = np.random.default_rng(7)
+    xq = jnp.array(rng.integers(-127, 128, (m, k)), jnp.int8)
+    w = jnp.array(rng.integers(-127, 128, (k, n)), jnp.int8)
+    sx = jnp.array(rng.random((m, 1), dtype=np.float32) * 0.1)
+    sn = jnp.array(rng.random(n, dtype=np.float32) * 0.01)
+    u = jnp.array(rng.standard_normal((m, r)), jnp.bfloat16)
+    b = jnp.array(rng.standard_normal((r, n)), jnp.bfloat16)
+
+    base = (
+        jax.lax.dot_general(xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32).astype(jnp.float32)
+        * sx
+        * sn
+    )
+    ref = (base + jnp.dot(u, b).astype(jnp.float32)).astype(jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        y = pallas_quant.int8_matmul_lora(xq, w, sx, sn, u, b, out_dtype=jnp.bfloat16)
+    _assert_bf16_ulp_close(y, ref)
+
+
 def test_split_dot_matches_full_dot_slices(monkeypatch):
     """KAI0_INT8_SPLITDOT=1 (per-half dots on column-sliced weights) must produce
     exactly the column slices of the full-width dot: the row scales depend only on
@@ -711,6 +749,45 @@ class TestFusedFFN:
         np.testing.assert_allclose(
             np.asarray(dx_f, np.float32), np.asarray(dx_s, np.float32), rtol=0.05,
             atol=2e-5 * max(1.0, np.abs(np.asarray(dx_s, np.float32)).max()),
+        )
+
+    def test_pallas_lora_epilogue_matches_xla_fused(self, monkeypatch):
+        """KAI0_INT8_PALLAS_FFN routes the fused FFN's gate/up/down dots through
+        pallas_quant.int8_matmul_lora (LoRA term added per output tile in the
+        epilogue). Forward must be bit-identical to the XLA fused path; grads
+        match to the same tolerance as fused-vs-split (the backward recompute
+        feeds bit-identical gate/up into identical XLA backward math)."""
+        from jax.experimental.pallas import tpu as pltpu
+
+        from kai0_tpu.models import lora as _lora
+
+        qparams, x = self._make(rows=24, d=32, f=256, rank=4)
+        monkeypatch.setenv("KAI0_INT8_FFN", "fused")
+
+        def run():
+            def f(trainable, x):
+                p = {**qparams, **trainable}
+                return jnp.mean(jnp.square(_lora.apply_ffn(p, x).astype(jnp.float32)))
+
+            trainable = {k: v for k, v in qparams.items() if not quant.is_quant(v)}
+            y = _lora.apply_ffn(qparams, x)
+            val, grads = jax.value_and_grad(f)(trainable, x)
+            dx = jax.grad(lambda xx: f(trainable, xx))(x)
+            return y, val, grads, dx
+
+        y_ref, val_ref, g_ref, dx_ref = run()
+        monkeypatch.setenv("KAI0_INT8_PALLAS_FFN", "1")
+        monkeypatch.setattr(quant.jax, "default_backend", lambda: "tpu")
+        with pltpu.force_tpu_interpret_mode():
+            y_p, val_p, g_p, dx_p = run()
+        _assert_bf16_ulp_close(y_p, y_ref)
+        np.testing.assert_allclose(float(val_p), float(val_ref), rtol=1e-6)
+        for k in g_ref:
+            a, b = np.asarray(g_p[k], np.float32), np.asarray(g_ref[k], np.float32)
+            np.testing.assert_allclose(a, b, rtol=0.05, atol=2e-5 * max(1.0, np.abs(b).max()), err_msg=k)
+        np.testing.assert_allclose(
+            np.asarray(dx_p, np.float32), np.asarray(dx_ref, np.float32), rtol=0.05,
+            atol=2e-5 * max(1.0, np.abs(np.asarray(dx_ref, np.float32)).max()),
         )
 
 
