@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import json
+import os
 import sys
 import time
 
@@ -111,6 +112,21 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
     return step, pmulti, state, batch, rng
 
 
+def apply_int8_bench_defaults() -> None:
+    """The measured-best int8 knob set — THE single definition of the shipped
+    bench defaults, shared with scripts/check_convergence_onchip.py so the
+    convergence-validated configuration cannot drift from the benched one.
+
+    Round-3 probe-matrix winners (PERF.md): no FFN row-chunking (c=1, fits
+    post-round-2 memory work; kills the lax.map chunk-stacking copies) and a
+    128-row q-block in the SigLIP dense-MHA backward (256 measured equal
+    within noise; 128 is the convergence-validated, documented value).
+    """
+    os.environ.setdefault("KAI0_REMAT", "attn")
+    os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
+    os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
+
+
 def select_mode(backend: str, n_chips: int):
     """Pick the benched configuration: (model, mode, batch_size, fsdp, quantize).
 
@@ -161,12 +177,7 @@ def select_mode(backend: str, n_chips: int):
         # reproducible (9.81 -> 9.87). bf16 at batch 12 OOMs by ~240 MB with it,
         # so the default only upgrades the int8 configuration.
         if quantize:
-            os.environ.setdefault("KAI0_REMAT", "attn")
-            # Round-3 probe-matrix winners (PERF.md): no FFN row-chunking (c=1,
-            # fits post-round-2 memory work; kills the lax.map chunk-stacking
-            # copies) and a 128-row q-block in the SigLIP dense-MHA backward.
-            os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
-            os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "256")
+            apply_int8_bench_defaults()
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,

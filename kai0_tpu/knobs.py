@@ -145,6 +145,11 @@ def get() -> Knobs:
     THE single ``os.environ`` read site for model/ops knobs. Resolved lazily at
     call (trace) time — note a jit cache entry reflects the values at its trace;
     entry points should resolve/record once up front (``as_dict``).
+
+    An EMPTY env value means *unset* (falls through to config/default) — so
+    ``KAI0_INT8_BWD= python …`` does NOT disable a default-true knob; write
+    ``KAI0_INT8_BWD=0``. This is uniform across knob types and documented in
+    docs/knobs.md (it differs from pre-registry rounds, where '' parsed false).
     """
     values = {}
     for field, env in _ENV.items():

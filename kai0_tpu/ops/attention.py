@@ -44,8 +44,19 @@ def _shard_map_batch(fn, *arrs):
     for axis in _sharding.DATA_AXIS:
         n_data *= mesh.shape[axis]
     batch = arrs[0].shape[0]
-    if batch % n_data == 0:
-        specs = tuple(P(_sharding.DATA_AXIS, *([None] * (a.ndim - 1))) for a in arrs)
+
+    def spec(a):
+        # Shard dim 0 only when it IS the batch dim: masks may legally arrive
+        # broadcastable ([T, S] / [1, T, S] per flash_mha's _normalize_mask) —
+        # blindly sharding their dim 0 would split T or a size-1 dim over the
+        # data axes and trace-fail into the silent mha_reference fallback.
+        # ndim >= 3 excludes a [T, S] mask whose T coincidentally equals batch.
+        if a.ndim >= 3 and a.shape[0] == batch:
+            return P(_sharding.DATA_AXIS, *([None] * (a.ndim - 1)))
+        return P(*([None] * a.ndim))
+
+    if batch % n_data == 0 and batch >= n_data:
+        specs = tuple(spec(a) for a in arrs)
         out_spec = specs[0]
     else:
         specs = tuple(P(*([None] * a.ndim)) for a in arrs)
@@ -83,9 +94,23 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, attn_mask: jax.Array, *, use_k
 
         try:
             return _shard_map_batch(pallas_attention.flash_mha, q, k, v, attn_mask)
-        except Exception:  # noqa: BLE001 - kernel unavailable (e.g. interpret limits): fall back
+        except Exception as e:  # noqa: BLE001 - kernel unavailable (e.g. interpret limits): fall back
+            global _FALLBACK_WARNED
+            if not _FALLBACK_WARNED:
+                _FALLBACK_WARNED = True
+                import logging
+
+                logging.getLogger("kai0_tpu").warning(
+                    "flash attention kernel unavailable (%s: %s) — falling back to the "
+                    "reference path, which materializes [B, N, T, S] f32 logits",
+                    type(e).__name__,
+                    e,
+                )
             return mha_reference(q, k, v, attn_mask)
     return mha_reference(q, k, v, attn_mask)
+
+
+_FALLBACK_WARNED = False
 
 
 def _kernel_supported(q, k, v) -> bool:

@@ -43,6 +43,11 @@ def create_trained_policy(
 ) -> _policy.Policy:
     repack_transforms = repack_transforms or _transforms.Group()
     checkpoint_dir = pathlib.Path(_download.maybe_download(str(checkpoint_dir)))
+    # Install the config's model/ops knob overrides BEFORE any tracing, like
+    # the train/bench entry points do (env vars still win — the registry's
+    # precedence). Without this a config pinning e.g. knobs.int8_ffn would
+    # train with it but silently serve with the defaults.
+    logger.info(f"Model knobs: {train_config.apply_model_knobs()}")
 
     if params is None:
         logger.info(f"Loading model from {checkpoint_dir}...")

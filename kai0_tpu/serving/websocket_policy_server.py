@@ -58,10 +58,14 @@ class _Session:
         loop = asyncio.get_running_loop()
         t_infer = time.monotonic()
         reply = await loop.run_in_executor(None, self.policy.infer, request)
-        # The policy's own breakdown (model vs transform time) rides along under
-        # its original keys; infer_ms here stays the server-observed wall time of
-        # the whole policy call (reference websocket_policy_server.py:64-69).
-        timing = {**reply.pop("policy_timing", {}), "infer_ms": (time.monotonic() - t_infer) * 1000}
+        # The policy's own breakdown rides along, with its model-call time
+        # renamed to model_ms so it survives next to infer_ms — which stays the
+        # server-observed wall time of the whole policy call, matching the
+        # reference's semantics (websocket_policy_server.py:64-69).
+        timing = dict(reply.pop("policy_timing", {}))
+        if "infer_ms" in timing:
+            timing["model_ms"] = timing.pop("infer_ms")
+        timing["infer_ms"] = (time.monotonic() - t_infer) * 1000
 
         if self._last_roundtrip_s is not None:
             timing["prev_total_ms"] = self._last_roundtrip_s * 1000

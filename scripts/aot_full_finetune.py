@@ -43,7 +43,7 @@ def get_topology(name: str, fsdp: int):
             topo = topologies.get_topology_desc(**kw)
             devs = list(topo.devices)
             if len(devs) >= fsdp:
-                return devs[: max(fsdp, len(devs))], f"topology {kw['topology_name']}"
+                return devs, f"topology {kw['topology_name']}"
         except Exception as e:  # noqa: BLE001
             print(f"  (topology {kw} unavailable: {type(e).__name__}: {e})", file=sys.stderr)
     devs = jax.devices()

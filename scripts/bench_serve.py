@@ -92,6 +92,12 @@ def main():
     args = ap.parse_args()
 
     if args.e2e:
+        if args.model != "pi05":
+            ap.error(
+                "--e2e serves the pi05 Euler-denoise policy only; for pi0_rtc / "
+                "pi0_fast use the device-side mode (drop --e2e) — otherwise the "
+                "--model/--rtc_* flags would be silently ignored"
+            )
         return run_e2e(args)
 
     from kai0_tpu.models import pi0 as _pi0

@@ -87,9 +87,8 @@ def main() -> int:
 
     quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
     if quantize:
-        os.environ.setdefault("KAI0_REMAT", "attn")
-        os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
-        os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
+        # Shared with bench.select_mode: the A/B must run the SHIPPED defaults.
+        bench.apply_int8_bench_defaults()
     model = _pi0.Pi0Config(
         pi05=True, paligemma_variant="gemma_2b_lora", action_expert_variant="gemma_300m_lora"
     )

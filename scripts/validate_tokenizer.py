@@ -144,6 +144,14 @@ def check(goldens_path: str) -> int:
         if kind == "fast" and want_list and not got_list:
             print("SKIP fast: goldens exist but the HF FAST processor is absent here", file=sys.stderr)
             continue
+        if not want_list and got_list:
+            # Goldens recorded on a host without this codec; nothing to compare.
+            print(
+                f"SKIP {kind}: goldens were recorded without this codec — "
+                f"re-run `record` on an asset-equipped host to cover it",
+                file=sys.stderr,
+            )
+            continue
         for want, have in zip(want_list, got_list, strict=True):
             keys = [k for k in want if k != "roundtrip_mae"]
             for k in keys:

@@ -37,6 +37,33 @@ def test_bool_and_int_coercion(monkeypatch):
     assert knobs.get().int8_chunk_mb == 64
 
 
+def test_empty_env_value_means_unset(monkeypatch):
+    """'' falls through to config/default for EVERY knob type (docs/knobs.md) —
+    disabling a default-true knob requires an explicit '0'."""
+    monkeypatch.setenv("KAI0_INT8_BWD", "")
+    assert knobs.get().int8_bwd is True  # default, not parsed-false
+    monkeypatch.setenv("KAI0_INT8_FFN", "")
+    knobs.configure(knobs.Knobs(int8_ffn="split"))
+    assert knobs.get().int8_ffn == "split"  # config layer still visible
+    monkeypatch.setenv("KAI0_INT8_BWD", "0")
+    assert knobs.get().int8_bwd is False
+
+
+def test_create_trained_policy_installs_config_knobs(monkeypatch, tmp_path):
+    """Serving must install TrainConfig.knobs like train/bench do — a config
+    pinning a knob would otherwise train with it and silently serve without."""
+    import jax
+
+    from kai0_tpu.policies import policy_config as _policy_config
+    from kai0_tpu.training import config as _config
+
+    cfg = _config.get_config("debug_serve")
+    cfg = dataclasses.replace(cfg, knobs=knobs.Knobs(int8_ffn="split"))
+    params = jax.tree.map(lambda x: x, cfg.model.init_params(jax.random.key(0)))
+    _policy_config.create_trained_policy(cfg, tmp_path, params=params)
+    assert knobs.get().int8_ffn == "split"
+
+
 def test_as_dict_reports_non_defaults_only(monkeypatch):
     assert knobs.as_dict() == {}
     monkeypatch.setenv("KAI0_REMAT", "attn")
