@@ -17,14 +17,11 @@ from kai0_tpu.policies.bimanual import parse_image
 
 
 def make_aloha_example() -> dict:
+    """A syntactically valid Aloha observation (used for serve warmup and tests)."""
+    rand_cam = lambda: np.random.randint(256, size=(3, 224, 224), dtype=np.uint8)  # noqa: E731
     return {
         "state": np.ones((14,)),
-        "images": {
-            "cam_high": np.random.randint(256, size=(3, 224, 224), dtype=np.uint8),
-            "cam_low": np.random.randint(256, size=(3, 224, 224), dtype=np.uint8),
-            "cam_left_wrist": np.random.randint(256, size=(3, 224, 224), dtype=np.uint8),
-            "cam_right_wrist": np.random.randint(256, size=(3, 224, 224), dtype=np.uint8),
-        },
+        "images": {cam: rand_cam() for cam in AlohaInputs.EXPECTED_CAMERAS},
         "prompt": "do something",
     }
 
@@ -51,19 +48,15 @@ class AlohaInputs(_transforms.DataTransformFn):
 
         state = _decode_state(np.asarray(data["state"]), adapt_to_pi=self.adapt_to_pi)
 
+        # Model slots ← Aloha cameras (cam_low has no slot and is dropped). Missing
+        # wrist cams become masked-out zero frames.
         base_image = in_images["cam_high"]
-        images = {"base_0_rgb": base_image}
-        image_masks = {"base_0_rgb": np.True_}
-        for dest, source in {
-            "left_wrist_0_rgb": "cam_left_wrist",
-            "right_wrist_0_rgb": "cam_right_wrist",
-        }.items():
-            if source in in_images:
-                images[dest] = in_images[source]
-                image_masks[dest] = np.True_
-            else:
-                images[dest] = np.zeros_like(base_image)
-                image_masks[dest] = np.False_
+        slot_map = (("base_0_rgb", "cam_high"), ("left_wrist_0_rgb", "cam_left_wrist"), ("right_wrist_0_rgb", "cam_right_wrist"))
+        images, image_masks = {}, {}
+        for slot, cam in slot_map:
+            present = cam in in_images
+            images[slot] = in_images[cam] if present else np.zeros_like(base_image)
+            image_masks[slot] = np.bool_(present)
 
         inputs = {"image": images, "image_mask": image_masks, "state": state}
         if "actions" in data:
@@ -82,61 +75,81 @@ class AlohaOutputs(_transforms.DataTransformFn):
         return {"actions": _encode_actions(actions, adapt_to_pi=self.adapt_to_pi)}
 
 
+# Per-joint sign differences between the Aloha joint convention and the π-internal
+# one π₀ pretrained in ([L 6 joints, L gripper, R 6 joints, R gripper]; the gripper
+# slots are always +1 — they are remapped below, not flipped).
+_PI_SIGN = np.array([1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1])
+_GRIPPER_IDX = [6, 13]
+
+# Hardware constants, all taken from the Aloha/Interbotix stacks (the reference
+# carries the same numbers at aloha_policy.py:117-153):
+# - puppet gripper slider travel in meters (POSITION_CLOSED..POSITION_OPEN),
+# - the four-bar linkage geometry converting slider travel to horn rotation,
+# - π₀'s gripper normalization window: encoder counts (2405, 3110) of 4096 with
+#   zero at 2048, i.e. radians (0.5476, 1.6296),
+# - puppet gripper *joint* command range in radians (JOINT_CLOSE..JOINT_OPEN).
+_SLIDER_TRAVEL = (0.01844, 0.05800)
+_LINKAGE_ARM_LEN = 0.036
+_LINKAGE_HORN_RADIUS = 0.022
+_PI_GRIPPER_RAD = (0.5476, 1.6296)
+_ALOHA_JOINT_RAD = (-0.6213, 1.4910)
+
+
+def _lerp(unit, lo, hi):
+    return unit * (hi - lo) + lo
+
+
+def _inv_lerp(value, lo, hi):
+    return (value - lo) / (hi - lo)
+
+
+def _slider_to_horn_angle(slider: np.ndarray) -> np.ndarray:
+    """Invert the Interbotix four-bar linkage: slider extension (m) → horn angle (rad)."""
+    cos_like = (_LINKAGE_HORN_RADIUS**2 + slider**2 - _LINKAGE_ARM_LEN**2) / (2 * _LINKAGE_HORN_RADIUS * slider)
+    return np.arcsin(np.clip(cos_like, -1.0, 1.0))
+
+
+def _gripper_to_angular(unit_pos: np.ndarray) -> np.ndarray:
+    # Aloha reports the puppet gripper as a normalized *linear* slider position;
+    # π₀ was pretrained on normalized *angular* positions. Chain: unit → meters →
+    # horn radians → π₀'s unit window.
+    radians = _slider_to_horn_angle(_lerp(unit_pos, *_SLIDER_TRAVEL))
+    return _inv_lerp(radians, *_PI_GRIPPER_RAD)
+
+
+def _gripper_from_angular(unit_angle: np.ndarray) -> np.ndarray:
+    # π₀ output → Aloha gripper-joint command. Both sides are angular; only the
+    # zero point and normalization window differ.
+    return _inv_lerp(unit_angle + _PI_GRIPPER_RAD[0], *_ALOHA_JOINT_RAD)
+
+
+def _gripper_from_angular_inv(unit_cmd: np.ndarray) -> np.ndarray:
+    return _lerp(unit_cmd, *_ALOHA_JOINT_RAD) - _PI_GRIPPER_RAD[0]
+
+
 def _joint_flip_mask() -> np.ndarray:
-    """Sign flips between Aloha and π joint conventions (aloha_policy.py:107)."""
-    return np.array([1, -1, -1, 1, 1, 1, 1, 1, -1, -1, 1, 1, 1, 1])
-
-
-def _normalize(x, min_val, max_val):
-    return (x - min_val) / (max_val - min_val)
-
-
-def _unnormalize(x, min_val, max_val):
-    return x * (max_val - min_val) + min_val
-
-
-def _gripper_to_angular(value):
-    # Aloha stores gripper positions in a linear space; undo that to the angular
-    # space π₀ pretrained in. Constants: PUPPET_GRIPPER_POSITION_{OPEN,CLOSED} and
-    # the Interbotix linear→radian geometry (aloha_policy.py:117-141).
-    value = _unnormalize(value, min_val=0.01844, max_val=0.05800)
-
-    def linear_to_radian(linear_position, arm_length, horn_radius):
-        value = (horn_radius**2 + linear_position**2 - arm_length**2) / (2 * horn_radius * linear_position)
-        return np.arcsin(np.clip(value, -1.0, 1.0))
-
-    value = linear_to_radian(value, arm_length=0.036, horn_radius=0.022)
-    # π₀ gripper data is normalized (0, 1) over encoder counts (2405, 3110) → radians (0.5476, 1.6296).
-    return _normalize(value, min_val=0.5476, max_val=1.6296)
-
-
-def _gripper_from_angular(value):
-    # π₀ angular output → Aloha's angular command range (aloha_policy.py:144-153).
-    value = value + 0.5476
-    return _normalize(value, min_val=-0.6213, max_val=1.4910)
-
-
-def _gripper_from_angular_inv(value):
-    value = _unnormalize(value, min_val=-0.6213, max_val=1.4910)
-    return value - 0.5476
+    return _PI_SIGN
 
 
 def _decode_state(state: np.ndarray, *, adapt_to_pi: bool = False) -> np.ndarray:
+    """Aloha robot state → π space (sign flips + gripper linear→angular)."""
     if adapt_to_pi:
-        state = _joint_flip_mask() * state
-        state[[6, 13]] = _gripper_to_angular(state[[6, 13]])
+        state = _PI_SIGN * state
+        state[_GRIPPER_IDX] = _gripper_to_angular(state[_GRIPPER_IDX])
     return state
 
 
 def _encode_actions(actions: np.ndarray, *, adapt_to_pi: bool = False) -> np.ndarray:
+    """π-space action chunk → Aloha command space."""
     if adapt_to_pi:
-        actions = _joint_flip_mask() * actions
-        actions[:, [6, 13]] = _gripper_from_angular(actions[:, [6, 13]])
+        actions = _PI_SIGN * actions
+        actions[:, _GRIPPER_IDX] = _gripper_from_angular(actions[:, _GRIPPER_IDX])
     return actions
 
 
 def _encode_actions_inv(actions: np.ndarray, *, adapt_to_pi: bool = False) -> np.ndarray:
+    """Aloha-recorded action chunk → π space (training direction)."""
     if adapt_to_pi:
-        actions = _joint_flip_mask() * actions
-        actions[:, [6, 13]] = _gripper_from_angular_inv(actions[:, [6, 13]])
+        actions = _PI_SIGN * actions
+        actions[:, _GRIPPER_IDX] = _gripper_from_angular_inv(actions[:, _GRIPPER_IDX])
     return actions

@@ -15,7 +15,12 @@ import pathlib
 
 import numpy as np
 
-_NUM_QUANTILE_BINS = 5000
+# Histogram resolution for the streaming quantile estimate, and the padding added
+# around the first batch's observed range so its extremes land strictly inside the
+# outermost bins. Both values participate in the bit-parity contract with the
+# reference's norm-stats pipeline — do not change them.
+_QUANTILE_BINS = 5000
+_EDGE_PAD = 1e-10
 
 
 @dataclasses.dataclass
@@ -35,90 +40,98 @@ class NormStats:
 
 
 class RunningStats:
-    """Streaming statistics over batches of vectors.
+    """Single-pass statistics over a stream of [..., D] batches.
 
-    Matches the reference accumulation order exactly (normalize.py:30-71) so that
-    feeding identical batches produces bit-identical statistics: running mean update
-    ``mean += (batch_mean - mean) * (n/total)``, adaptive histogram rebinning when the
-    observed min/max range grows, and histogram-based quantile extraction.
+    Two accumulators per dimension: an incremental mean / mean-of-x² pair (for
+    mean/std) and a fixed-bin histogram (for approximate q01/q99). The histogram
+    covers the observed [lo, hi] range; when a later batch falls outside it, the
+    counts are re-binned onto the widened range before the batch is deposited.
+
+    The *sequence* of floating-point operations here is a parity contract with the
+    reference pipeline (``src/openpi/shared/normalize.py:30-71``): fed the same
+    batches in the same order, this class reproduces its statistics bit-for-bit
+    (see ``tests/test_normalize.py``). Keep the update order — widen range, then
+    bump count, then fold the batch means, then deposit into the histogram — and
+    keep all reductions per-batch (never over the concatenated stream).
     """
 
     def __init__(self):
-        self._count = 0
-        self._mean: np.ndarray | None = None
-        self._mean_of_squares: np.ndarray | None = None
-        self._min: np.ndarray | None = None
-        self._max: np.ndarray | None = None
-        self._histograms: list[np.ndarray] | None = None
-        self._bin_edges: list[np.ndarray] | None = None
-        self._num_quantile_bins = _NUM_QUANTILE_BINS
+        self._seen = 0  # total vectors folded in so far
+        self._mu: np.ndarray | None = None  # running E[x], shape [D]
+        self._mu_x2: np.ndarray | None = None  # running E[x²], shape [D]
+        self._lo: np.ndarray | None = None  # per-dim observed min
+        self._hi: np.ndarray | None = None  # per-dim observed max
+        self._hist: list[np.ndarray] | None = None  # per-dim bin counts
+        self._edges: list[np.ndarray] | None = None  # per-dim bin edges, len bins+1
+
+    @property
+    def dim(self) -> int | None:
+        return None if self._mu is None else int(self._mu.size)
+
+    @property
+    def count(self) -> int:
+        return self._seen
 
     def update(self, batch: np.ndarray) -> None:
-        batch = np.asarray(batch).reshape(-1, np.asarray(batch).shape[-1])
-        num_elements, vector_length = batch.shape
-        if self._count == 0:
-            self._mean = np.mean(batch, axis=0)
-            self._mean_of_squares = np.mean(batch**2, axis=0)
-            self._min = np.min(batch, axis=0)
-            self._max = np.max(batch, axis=0)
-            self._histograms = [np.zeros(self._num_quantile_bins) for _ in range(vector_length)]
-            self._bin_edges = [
-                np.linspace(self._min[i] - 1e-10, self._max[i] + 1e-10, self._num_quantile_bins + 1)
-                for i in range(vector_length)
-            ]
+        batch = np.asarray(batch)
+        batch = batch.reshape(-1, batch.shape[-1])
+        count, dim = batch.shape
+
+        if self._seen == 0:
+            self._start(batch)
         else:
-            if vector_length != self._mean.size:
-                raise ValueError("The length of new vectors does not match the initialized vector length.")
-            new_max = np.max(batch, axis=0)
-            new_min = np.min(batch, axis=0)
-            max_changed = np.any(new_max > self._max)
-            min_changed = np.any(new_min < self._min)
-            self._max = np.maximum(self._max, new_max)
-            self._min = np.minimum(self._min, new_min)
-            if max_changed or min_changed:
-                self._adjust_histograms()
+            if dim != self._mu.size:
+                raise ValueError(f"RunningStats was started with dim {self._mu.size}, got a batch of dim {dim}.")
+            self._widen_range(batch)
 
-        self._count += num_elements
+        self._seen += count
+        # Incremental mean folds: mu ← mu + (batch_mu − mu)·(n_batch / n_total).
+        frac = count / self._seen
+        self._mu += (np.mean(batch, axis=0) - self._mu) * frac
+        self._mu_x2 += (np.mean(batch**2, axis=0) - self._mu_x2) * frac
 
-        batch_mean = np.mean(batch, axis=0)
-        batch_mean_of_squares = np.mean(batch**2, axis=0)
-        self._mean += (batch_mean - self._mean) * (num_elements / self._count)
-        self._mean_of_squares += (batch_mean_of_squares - self._mean_of_squares) * (num_elements / self._count)
+        for d in range(dim):
+            self._hist[d] += np.histogram(batch[:, d], bins=self._edges[d])[0]
 
-        self._update_histograms(batch)
+    def _start(self, batch: np.ndarray) -> None:
+        dim = batch.shape[1]
+        self._mu = np.mean(batch, axis=0)
+        self._mu_x2 = np.mean(batch**2, axis=0)
+        self._lo = np.min(batch, axis=0)
+        self._hi = np.max(batch, axis=0)
+        self._hist = [np.zeros(_QUANTILE_BINS) for _ in range(dim)]
+        self._edges = [
+            np.linspace(self._lo[d] - _EDGE_PAD, self._hi[d] + _EDGE_PAD, _QUANTILE_BINS + 1) for d in range(dim)
+        ]
+
+    def _widen_range(self, batch: np.ndarray) -> None:
+        batch_hi = np.max(batch, axis=0)
+        batch_lo = np.min(batch, axis=0)
+        grew = bool(np.any(batch_hi > self._hi)) or bool(np.any(batch_lo < self._lo))
+        self._hi = np.maximum(self._hi, batch_hi)
+        self._lo = np.minimum(self._lo, batch_lo)
+        if grew:
+            # Re-deposit existing counts onto edges spanning the new range. Each old
+            # bin's count lands in the new bin containing its left edge — the same
+            # approximation the reference applies, so rebinned histograms stay
+            # bit-identical across implementations.
+            for d in range(len(self._hist)):
+                widened = np.linspace(self._lo[d], self._hi[d], _QUANTILE_BINS + 1)
+                self._hist[d] = np.histogram(self._edges[d][:-1], bins=widened, weights=self._hist[d])[0]
+                self._edges[d] = widened
+
+    def _quantile(self, q: float) -> np.ndarray:
+        """Left edge of the first bin whose cumulative count reaches q·N, per dim."""
+        rank = q * self._seen
+        return np.array(
+            [edges[np.searchsorted(np.cumsum(hist), rank)] for hist, edges in zip(self._hist, self._edges, strict=True)]
+        )
 
     def get_statistics(self) -> NormStats:
-        if self._count < 2:
-            raise ValueError("Cannot compute statistics for less than 2 vectors.")
-        variance = self._mean_of_squares - self._mean**2
-        stddev = np.sqrt(np.maximum(0, variance))
-        q01, q99 = self._compute_quantiles([0.01, 0.99])
-        return NormStats(mean=self._mean, std=stddev, q01=q01, q99=q99)
-
-    def _adjust_histograms(self) -> None:
-        for i in range(len(self._histograms)):
-            old_edges = self._bin_edges[i]
-            new_edges = np.linspace(self._min[i], self._max[i], self._num_quantile_bins + 1)
-            new_hist, _ = np.histogram(old_edges[:-1], bins=new_edges, weights=self._histograms[i])
-            self._histograms[i] = new_hist
-            self._bin_edges[i] = new_edges
-
-    def _update_histograms(self, batch: np.ndarray) -> None:
-        for i in range(batch.shape[1]):
-            hist, _ = np.histogram(batch[:, i], bins=self._bin_edges[i])
-            self._histograms[i] += hist
-
-    def _compute_quantiles(self, quantiles):
-        results = []
-        for q in quantiles:
-            target_count = q * self._count
-            q_values = []
-            for hist, edges in zip(self._histograms, self._bin_edges, strict=True):
-                cumsum = np.cumsum(hist)
-                idx = np.searchsorted(cumsum, target_count)
-                q_values.append(edges[idx])
-            results.append(np.array(q_values))
-        return results
+        if self._seen < 2:
+            raise ValueError(f"Need at least 2 vectors to report statistics, have {self._seen}.")
+        std = np.sqrt(np.maximum(0, self._mu_x2 - self._mu**2))
+        return NormStats(mean=self._mu, std=std, q01=self._quantile(0.01), q99=self._quantile(0.99))
 
 
 def _stats_to_jsonable(stats: NormStats) -> dict:

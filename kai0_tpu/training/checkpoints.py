@@ -35,45 +35,41 @@ def initialize_checkpoint_dir(
     checkpoint_dir: pathlib.Path | str, *, keep_period: int | None, overwrite: bool, resume: bool
 ) -> tuple[ocp.CheckpointManager, bool]:
     checkpoint_dir = pathlib.Path(checkpoint_dir).resolve()
-    resuming = False
-    if checkpoint_dir.exists():
-        if overwrite:
-            import shutil
+    has_prior_run = checkpoint_dir.exists()
+    if has_prior_run and overwrite:
+        import shutil
 
-            shutil.rmtree(checkpoint_dir)
-            checkpoint_dir.mkdir(parents=True, exist_ok=True)
-            logger.info(f"Wiped checkpoint directory {checkpoint_dir}")
-        elif resume:
-            resuming = True
-        else:
-            raise FileExistsError(
-                f"Checkpoint directory {checkpoint_dir} already exists. Use --overwrite or --resume "
-                "to indicate how to handle it."
-            )
+        shutil.rmtree(checkpoint_dir)
+        logger.info(f"Removed existing checkpoint directory {checkpoint_dir}")
+        has_prior_run = False
+    if has_prior_run and not resume:
+        raise FileExistsError(
+            f"{checkpoint_dir} already holds a previous run; pass --overwrite to replace it "
+            "or --resume to continue from it."
+        )
+    resuming = has_prior_run
 
     checkpoint_dir.mkdir(parents=True, exist_ok=True)
 
-    mngr = ocp.CheckpointManager(
-        checkpoint_dir,
-        item_handlers={
-            "assets": CallbackHandler(),
-            "train_state": ocp.PyTreeCheckpointHandler(),
-            "params": ocp.PyTreeCheckpointHandler(),
-        },
-        options=ocp.CheckpointManagerOptions(
-            max_to_keep=1,
-            keep_period=keep_period,
-            create=False,
-            async_options=ocp.AsyncOptions(timeout_secs=7200),
-        ),
+    # Three items per step: "assets" (norm stats + knobs, written by callback),
+    # "train_state" (optimizer state; inference params removed), "params" (the
+    # inference tree — EMA when enabled). Retention and async timeout match the
+    # reference's operational behavior (max_to_keep=1 + keep_period, 7200 s).
+    handlers = {"assets": CallbackHandler()}
+    for tree_item in ("train_state", "params"):
+        handlers[tree_item] = ocp.PyTreeCheckpointHandler()
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=1, keep_period=keep_period, create=False, async_options=ocp.AsyncOptions(timeout_secs=7200)
     )
+    manager = ocp.CheckpointManager(checkpoint_dir, item_handlers=handlers, options=options)
 
-    # Resume requested but no checkpoint was ever written: start fresh.
-    if resuming and tuple(mngr.all_steps()) in [(), (0,)]:
-        logger.info("Checkpoint directory exists, but does not contain any checkpoints. Aborting resume.")
+    # A resume against a directory that never reached a post-init save (no steps, or
+    # only the step-0 placeholder) restores nothing — treat it as a fresh start.
+    if resuming and not any(step > 0 for step in manager.all_steps()):
+        logger.info(f"No restorable checkpoint under {checkpoint_dir}; starting from scratch instead of resuming.")
         resuming = False
 
-    return mngr, resuming
+    return manager, resuming
 
 
 def save_state(
@@ -150,19 +146,25 @@ class Callback(Protocol):
 
 
 class CallbackHandler(ocp.AsyncCheckpointHandler):
-    """Checkpoint handler that runs an arbitrary callback (save only)."""
+    """Write-only Orbax handler: invokes a user callback with the item directory.
+
+    Used for the "assets" item (norm stats + knobs). Only process 0 writes; the
+    callback runs on a thread under Orbax's async-commit contract.
+    """
 
     def save(self, directory, args: "CallbackSave"):
-        if jax.process_index() == 0:
-            args.callback(pathlib.Path(directory))
+        if jax.process_index() != 0:
+            return
+        args.callback(pathlib.Path(directory))
 
     async def async_save(self, directory, args: "CallbackSave") -> list[futures.Future]:
         import orbax.checkpoint.future as ocp_future
 
-        return [ocp_future.CommitFutureAwaitingContractedSignals(asyncio.to_thread(self.save, directory, args))]
+        commit = asyncio.to_thread(self.save, directory, args)
+        return [ocp_future.CommitFutureAwaitingContractedSignals(commit)]
 
     def restore(self, *args, **kwargs):
-        raise NotImplementedError("CallbackHandler does not support restore")
+        raise NotImplementedError("assets are written, never restored through Orbax")
 
 
 @ocp.args.register_with_handler(CallbackHandler, for_save=True)
@@ -176,21 +178,16 @@ class CallbackRestore(ocp.args.CheckpointArgs): ...
 
 
 def _split_params(state: training_utils.TrainState) -> tuple[training_utils.TrainState, dict]:
-    """Pull the inference params (EMA when enabled) out as their own item."""
+    """Pull the inference params (EMA when enabled) out as their own checkpoint item."""
     if state.ema_params is not None:
-        params = state.ema_params
-        train_state = dataclasses.replace(state, ema_params=None)
-    else:
-        params = state.params
-        train_state = dataclasses.replace(state, params={})
-    return train_state, params
+        return dataclasses.replace(state, ema_params=None), state.ema_params
+    return dataclasses.replace(state, params={}), state.params
 
 
 def _merge_params(train_state: training_utils.TrainState, params: dict) -> training_utils.TrainState:
-    # Presence of params in train_state means the split pulled out EMA params.
-    if train_state.params:
-        return dataclasses.replace(train_state, ema_params=params["params"])
-    return dataclasses.replace(train_state, params=params["params"])
+    # If the split left params populated, the separate item holds the EMA tree.
+    slot = "ema_params" if train_state.params else "params"
+    return dataclasses.replace(train_state, **{slot: params["params"]})
 
 
 # --------------------------------------------------------------------------------------

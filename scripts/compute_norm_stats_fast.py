@@ -80,7 +80,7 @@ def compute_stats_from_parquet(
         data = np.concatenate(chunks, axis=0)
         for i in tqdm.tqdm(range(0, len(data), ACCUM_BATCH), desc=f"Accumulating {key}"):
             stats[key].update(data[i : i + ACCUM_BATCH])
-    return {key: s.get_statistics() for key, s in stats.items() if s._count > 1}
+    return {key: s.get_statistics() for key, s in stats.items() if s.count > 1}
 
 
 def main(config_name: str, base_dir: str | None = None, max_frames: int | None = None) -> pathlib.Path:

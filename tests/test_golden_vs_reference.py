@@ -11,6 +11,7 @@ eval-path numerics (augmax is only touched when ``train=True`` augmentation chai
 are built, beartype only wraps functions).
 """
 
+import os
 import pathlib
 import sys
 import types
@@ -399,6 +400,106 @@ def test_pi0_fast_loss_and_decode_match_reference():
     )
     assert our_tokens.shape == ref_out.shape
     assert np.array_equal(our_tokens, ref_out), "greedy decode token mismatch"
+
+
+@pytest.mark.parametrize(
+    "pg_variant,ae_variant",
+    [("gemma_2b", "gemma_300m"), ("gemma_2b_lora", "gemma_300m_lora")],
+    ids=["full", "lora"],
+)
+def test_full_size_init_tree_structural_parity(pg_variant, ae_variant):
+    """Full-size (width 2048, depth 18, So400m vision) init-tree parity, no weights.
+
+    ``jax.eval_shape``/``nnx.eval_shape`` compare every param path, shape and dtype
+    of our init against the ACTUAL reference init at the real π₀.₅ size — covering
+    full-width layout contracts the dummy-size goldens can't (So400m head-dim-72,
+    stacked-scan layer axis at depth 18/27, LoRA factor shapes). No weights are
+    materialized, so this runs in seconds (VERDICT round-3 item 4b).
+    """
+    import flax.nnx as nnx
+    import jax
+
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.transforms import flatten_dict
+
+    ref_pi0_config, _ = _import_reference()
+
+    kwargs = dict(
+        paligemma_variant=pg_variant, action_expert_variant=ae_variant, dtype="bfloat16", pi05=True
+    )
+    ours = _pi0.Pi0Config(**kwargs)
+    our_abstract = jax.eval_shape(ours.init_params, jax.random.key(0))
+    flat_ours = flatten_dict(our_abstract)
+
+    ref_config = ref_pi0_config.Pi0Config(**kwargs)
+    abstract_ref = nnx.eval_shape(lambda: ref_config.create(jax.random.key(0)))
+    _, ref_state = nnx.split(abstract_ref)
+    flat_ref = {"/".join(str(p) for p in k): leaf.value for k, leaf in ref_state.flat_state()}
+
+    assert set(flat_ref) == set(flat_ours), (
+        f"param path mismatch at full size: only-ref={sorted(set(flat_ref) - set(flat_ours))[:8]} "
+        f"only-ours={sorted(set(flat_ours) - set(flat_ref))[:8]}"
+    )
+    mismatches = []
+    for path, ref_leaf in flat_ref.items():
+        our_leaf = flat_ours[path]
+        if tuple(ref_leaf.shape) != tuple(our_leaf.shape) or ref_leaf.dtype != our_leaf.dtype:
+            mismatches.append(f"{path}: ref {ref_leaf.shape}/{ref_leaf.dtype} vs ours {our_leaf.shape}/{our_leaf.dtype}")
+    assert not mismatches, "\n".join(mismatches[:20])
+
+
+@pytest.mark.skipif(
+    not os.environ.get("KAI0_MIDSIZE_GOLDEN"),
+    reason="mid-size golden takes minutes on CPU; set KAI0_MIDSIZE_GOLDEN=1 (VERDICT r3 item 4a)",
+)
+def test_midsize_golden_loss_and_sample():
+    """Golden numerics at gemma_300m width (1024, depth 18) with the REAL So400m
+    vision tower — full-width RoPE/softmax/scan-layout coverage beyond the dummy
+    variant. Loss + a 2-step Euler sample are compared against the reference nnx
+    model with injected params at 1e-3, the BASELINE.md fidelity bound."""
+    import flax.nnx as nnx
+    import jax
+
+    from kai0_tpu.models import model as _model
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.transforms import flatten_dict
+
+    ref_pi0_config, ref_model = _import_reference()
+
+    kwargs = dict(
+        paligemma_variant="gemma_300m", action_expert_variant="gemma_300m", dtype="float32", pi05=True
+    )
+    ours = _pi0.Pi0Config(**kwargs)
+    our_params = ours.init_params(jax.random.key(4))
+    flat_ours = flatten_dict(our_params)
+
+    ref_config = ref_pi0_config.Pi0Config(**kwargs)
+    ref = ref_config.create(jax.random.key(12))
+    graphdef, state = nnx.split(ref)
+    flat_state = state.flat_state()
+    assert {"/".join(str(p) for p in k) for k, _ in flat_state} == set(flat_ours)
+    for k, leaf in flat_state:
+        leaf.value = flat_ours["/".join(str(p) for p in k)]
+    ref = nnx.merge(graphdef, state)
+
+    images, state_arr, tokens, token_mask, act, rng = _fake_inputs(ours, batch=1, seed=23)
+    kw = dict(
+        images=images,
+        image_masks={k: np.ones(1, bool) for k in images},
+        state=state_arr,
+        tokenized_prompt=tokens,
+        tokenized_prompt_mask=token_mask,
+    )
+    our_loss = np.asarray(ours.compute_loss(our_params, rng, _model.Observation(**kw), act, train=False))
+    ref_loss = np.asarray(ref.compute_loss(rng, ref_model.Observation(**kw), act, train=False))
+    assert our_loss.shape == ref_loss.shape
+    loss_diff = np.max(np.abs(our_loss - ref_loss))
+    assert loss_diff < 1e-3, f"mid-size loss diverges: max abs diff {loss_diff:.2e}"
+
+    our_actions = np.asarray(ours.sample_actions(our_params, rng, _model.Observation(**kw), num_steps=2))
+    ref_actions = np.asarray(ref.sample_actions(rng, ref_model.Observation(**kw), num_steps=2))
+    act_diff = np.max(np.abs(our_actions - ref_actions))
+    assert act_diff < 1e-3, f"mid-size sampled actions diverge: max abs diff {act_diff:.2e}"
 
 
 def test_reference_saved_checkpoint_restores_here(golden, tmp_path):
