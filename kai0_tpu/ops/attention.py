@@ -22,16 +22,20 @@ import jax.numpy as jnp
 BIG_NEG = -2.3819763e38  # Gemma's masking constant (gemma/modules.py via reference gemma.py:225)
 
 
-def _shard_map_batch(fn, *arrs):
-    """Run a batch-independent Pallas kernel under the active mesh.
+def _shard_map_batch(fn, *arrs, head_axes: tuple[int | None, ...] | None = None):
+    """Run a batch/head-independent Pallas kernel under the active mesh.
 
     GSPMD cannot automatically partition Mosaic custom calls ("Mosaic kernels
     cannot be automatically partitioned") — caught by the v5e-8 topology-AOT of
     the full fine-tune step (scripts/aot_full_finetune.py, round 3). Attention
-    is independent per batch row, so under a >1-device mesh the kernel runs in
-    a ``shard_map`` over the data axes: each device computes its local batch
-    shard, no collectives. Falls back to replicated specs when the batch does
-    not divide the mesh (e.g. batch-1 multi-chip serving).
+    is independent per batch row AND per head group, so under a >1-device mesh
+    the kernel runs in a ``shard_map``: the batch dim over the data axes, and —
+    when the mesh has a >1 ``tp`` axis — each array's head dim (``head_axes``,
+    None = no head dim, e.g. masks and MQA's single KV head) over ``tp``. Each
+    device computes its local (batch shard × head shard), no collectives; the
+    output inherits the first operand's specs. Falls back to replicated specs
+    along either axis when sizes don't divide the mesh (e.g. batch-1 multi-chip
+    serving).
     """
     from kai0_tpu.parallel import sharding as _sharding
 
@@ -43,28 +47,38 @@ def _shard_map_batch(fn, *arrs):
     n_data = 1
     for axis in _sharding.DATA_AXIS:
         n_data *= mesh.shape[axis]
+    n_tp = _sharding.tp_size(mesh)
     batch = arrs[0].shape[0]
+    shard_batch = batch % n_data == 0 and batch >= n_data
+    if head_axes is None:
+        head_axes = (None,) * len(arrs)
 
-    def spec(a):
+    def spec(a, head_axis):
+        dims: list = [None] * a.ndim
         # Shard dim 0 only when it IS the batch dim: masks may legally arrive
         # broadcastable ([T, S] / [1, T, S] per flash_mha's _normalize_mask) —
         # blindly sharding their dim 0 would split T or a size-1 dim over the
         # data axes and trace-fail into the silent mha_reference fallback.
         # ndim >= 3 excludes a [T, S] mask whose T coincidentally equals batch.
-        if a.ndim >= 3 and a.shape[0] == batch:
-            return P(_sharding.DATA_AXIS, *([None] * (a.ndim - 1)))
-        return P(*([None] * a.ndim))
+        if shard_batch and a.ndim >= 3 and a.shape[0] == batch:
+            dims[0] = _sharding.DATA_AXIS
+        if n_tp > 1 and head_axis is not None and a.shape[head_axis] % n_tp == 0 and a.shape[head_axis] >= n_tp:
+            dims[head_axis] = _sharding.TP_AXIS
+        return P(*dims)
 
-    if batch % n_data == 0 and batch >= n_data:
-        specs = tuple(spec(a) for a in arrs)
-        out_spec = specs[0]
-    else:
-        specs = tuple(P(*([None] * a.ndim)) for a in arrs)
-        out_spec = specs[0]
+    specs = tuple(spec(a, h) for a, h in zip(arrs, head_axes, strict=True))
+    out_spec = specs[0]
     shard_map = getattr(jax, "shard_map", None)
     if shard_map is None:  # older jax
         from jax.experimental.shard_map import shard_map
-    return shard_map(fn, mesh=mesh, in_specs=specs, out_specs=out_spec)(*arrs)
+    try:
+        # check_vma cannot infer varying-axes for Pallas custom calls (their
+        # out_shape is a plain ShapeDtypeStruct) — without disabling it the trace
+        # fails and silently demotes every multi-device run to the einsum path
+        # (caught by the round-4 v5e-8 --tp AOT, which logged the fallback).
+        return shard_map(fn, mesh=mesh, in_specs=specs, out_specs=out_spec, check_vma=False)(*arrs)
+    except TypeError:  # older jax: the flag was named check_rep
+        return shard_map(fn, mesh=mesh, in_specs=specs, out_specs=out_spec, check_rep=False)(*arrs)
 
 
 def mha_reference(
@@ -93,7 +107,9 @@ def mha(q: jax.Array, k: jax.Array, v: jax.Array, attn_mask: jax.Array, *, use_k
         from kai0_tpu.ops import pallas_attention
 
         try:
-            return _shard_map_batch(pallas_attention.flash_mha, q, k, v, attn_mask)
+            # Head axes: q [B,T,N,H] and k/v [B,S,K,H] shard their head dim over a
+            # tp mesh axis when divisible (MQA's K=1 never is → KV replicates).
+            return _shard_map_batch(pallas_attention.flash_mha, q, k, v, attn_mask, head_axes=(2, 2, 2, None))
         except Exception as e:  # noqa: BLE001 - kernel unavailable (e.g. interpret limits): fall back
             global _FALLBACK_WARNED
             if not _FALLBACK_WARNED:
@@ -144,7 +160,7 @@ def mhsa_dense(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool = T
 
         try:
             qh, kh, vh = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
-            return _shard_map_batch(pallas_attention.flash_mhsa, qh, kh, vh).transpose(0, 2, 1, 3)
+            return _shard_map_batch(pallas_attention.flash_mhsa, qh, kh, vh, head_axes=(1, 1, 1)).transpose(0, 2, 1, 3)
         except Exception:  # noqa: BLE001 - kernel unavailable: fall back
             pass
     logits = jnp.einsum("btnh,bsnh->bnts", q, k, preferred_element_type=jnp.float32)
@@ -169,7 +185,7 @@ def mhsa_dense_hm(q: jax.Array, k: jax.Array, v: jax.Array, *, use_kernel: bool 
         from kai0_tpu.ops import pallas_attention
 
         try:
-            return _shard_map_batch(pallas_attention.flash_mhsa, q, k, v)
+            return _shard_map_batch(pallas_attention.flash_mhsa, q, k, v, head_axes=(1, 1, 1))
         except Exception:  # noqa: BLE001 - kernel unavailable: fall back
             pass
     logits = jnp.einsum("bnth,bnsh->bnts", q, k, preferred_element_type=jnp.float32)

@@ -1,25 +1,36 @@
-"""Device-mesh construction and FSDP parameter placement.
+"""Device-mesh construction and FSDP/tensor-parallel parameter placement.
 
-The distributed backend of the framework: a 2-axis ``(batch, fsdp)`` mesh over ICI,
-with all cross-device collectives emitted by XLA GSPMD from jit in/out shardings and
-in-graph activation constraints — no hand-written communication (parity: reference
-``src/openpi/training/sharding.py``; the reference's "no multi-process" limitation is
-lifted — the mesh spans ``jax.devices()``, which includes all processes after
-``jax.distributed.initialize`` on multi-host pods, with a DCN axis possible via
-``jax.make_mesh``'s device ordering).
+The distributed backend of the framework: a ``(batch, fsdp)`` mesh over ICI — with an
+optional third ``tp`` (tensor-parallel) axis — where all cross-device collectives are
+emitted by XLA GSPMD from jit in/out shardings and in-graph activation constraints,
+no hand-written communication (parity: reference ``src/openpi/training/sharding.py``;
+the reference's "no multi-process" limitation is lifted — the mesh spans
+``jax.devices()``, which includes all processes after ``jax.distributed.initialize``
+on multi-host pods, with a DCN axis possible via ``jax.make_mesh``'s device ordering).
+
+Tensor parallelism (Megatron-style, GSPMD-propagated): name-aware rules in
+``_TP_RULES`` place the ``tp`` axis on the head dim of attention projections (Gemma
+MQA: q-heads and the output projection shard, the single KV head replicates) and on
+the hidden dim of the gated FFN / SigLIP MLP. The residual stream stays replicated
+over ``tp`` (``activation_sharding_constraint`` pins only the batch dim), so XLA
+inserts exactly the two Megatron all-reduces per block — after attention-out and
+after the FFN down-projection. Default ``tp=1`` keeps the original 2-axis mesh and
+byte-identical placements.
 """
 
 from __future__ import annotations
 
 import contextlib
 import logging
+import re
 
 import jax
 import numpy as np
 
 BATCH_AXIS = "batch"
 FSDP_AXIS = "fsdp"
-# Data (batch dim) is sharded across both axes.
+TP_AXIS = "tp"
+# Data (batch dim) is sharded across both data axes (never over tp).
 DATA_AXIS = (BATCH_AXIS, FSDP_AXIS)
 
 logger = logging.getLogger("kai0_tpu")
@@ -29,15 +40,29 @@ class _MeshState:
     active_mesh: jax.sharding.Mesh | None = None
 
 
-def make_mesh(num_fsdp_devices: int, *, devices=None) -> jax.sharding.Mesh:
+def make_mesh(num_fsdp_devices: int, *, num_tp_devices: int = 1, devices=None) -> jax.sharding.Mesh:
+    """Build the device mesh: ``(batch, fsdp)``, or ``(batch, fsdp, tp)`` when tp > 1.
+
+    ``tp`` is the innermost (fastest-varying) axis so tensor-parallel collectives ride
+    the shortest ICI hops; ``tp=1`` returns the exact 2-axis mesh of earlier rounds.
+    """
     devices = jax.devices() if devices is None else devices
-    if len(devices) % num_fsdp_devices != 0:
+    model_devices = num_fsdp_devices * num_tp_devices
+    if len(devices) % model_devices != 0:
         raise ValueError(
-            f"Number of devices {len(devices)} must be divisible by the number of FSDP devices "
-            f"{num_fsdp_devices}."
+            f"Number of devices {len(devices)} must be divisible by fsdp*tp = "
+            f"{num_fsdp_devices}*{num_tp_devices} = {model_devices}."
         )
-    mesh_shape = (len(devices) // num_fsdp_devices, num_fsdp_devices)
-    return jax.sharding.Mesh(np.asarray(devices).reshape(mesh_shape), (BATCH_AXIS, FSDP_AXIS))
+    if num_tp_devices == 1:
+        mesh_shape = (len(devices) // num_fsdp_devices, num_fsdp_devices)
+        return jax.sharding.Mesh(np.asarray(devices).reshape(mesh_shape), (BATCH_AXIS, FSDP_AXIS))
+    mesh_shape = (len(devices) // model_devices, num_fsdp_devices, num_tp_devices)
+    return jax.sharding.Mesh(np.asarray(devices).reshape(mesh_shape), (BATCH_AXIS, FSDP_AXIS, TP_AXIS))
+
+
+def tp_size(mesh: jax.sharding.Mesh) -> int:
+    """Size of the tensor-parallel axis (1 on a 2-axis mesh)."""
+    return mesh.shape[TP_AXIS] if TP_AXIS in mesh.axis_names else 1
 
 
 @contextlib.contextmanager
@@ -80,6 +105,47 @@ def replicated(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
     return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
 
+# Name-aware tensor-parallel placement: (path regex, weight axis counted from the
+# right). Negative axes make the rules robust to the stacked leading layer axis that
+# ``lax.scan``-driven params carry ([depth, ...]). A rule only fires when the target
+# axis is divisible by the tp mesh dim — Gemma's single KV head therefore replicates
+# (MQA: kv_einsum K=1 never divides tp>1) while q/out head axes shard.
+_TP_RULES: tuple[tuple[re.Pattern, int], ...] = (
+    # Gemma attention projections (+ their LoRA factors): head axis at -3
+    # ("attn/q_einsum_1/w" [N, D, H], "attn/attn_vec_einsum/w" [N, H, D], fused
+    # "qkv_einsum/w" [3, K, D, H] — all carry the head axis third-from-right).
+    (re.compile(r"attn/(qkv_einsum|q_einsum|kv_einsum|attn_vec_einsum)(_\d+)?/(w|lora_a|lora_b)$"), -3),
+    # Gemma gated FFN: shard the mlp hidden dim on both sides of the gelu
+    # (gating_einsum [2, D, F] → -1; linear [F, D] → -2). The LoRA factor touching
+    # the hidden dim shards with it; the rank-sized factors replicate (no rule).
+    (re.compile(r"mlp(_\d+)?/gating_einsum$"), -1),
+    (re.compile(r"mlp(_\d+)?/gating_einsum_lora_b$"), -1),
+    (re.compile(r"mlp(_\d+)?/linear$"), -2),
+    (re.compile(r"mlp(_\d+)?/linear_lora_a$"), -2),
+    # SigLIP attention: 16 heads, kernels [D, N, H] (qkv) and [N, H, D] (out).
+    (re.compile(r"MultiHeadDotProductAttention_0/(query|key|value)/kernel$"), -2),
+    (re.compile(r"MultiHeadDotProductAttention_0/out/kernel$"), -3),
+    # SigLIP MLP hidden dim: Dense_0 [D, F], Dense_1 [F, D].
+    (re.compile(r"MlpBlock_0/Dense_0/kernel$"), -1),
+    (re.compile(r"MlpBlock_0/Dense_1/kernel$"), -2),
+)
+
+
+def _path_str(kp) -> str:
+    """Key path → "a/b/c" (dict keys, dataclass fields, sequence indices)."""
+    parts = []
+    for k in kp:
+        if hasattr(k, "key"):
+            parts.append(str(k.key))
+        elif hasattr(k, "name"):
+            parts.append(str(k.name))
+        elif hasattr(k, "idx"):
+            parts.append(str(k.idx))
+        else:
+            parts.append(str(k))
+    return "/".join(parts)
+
+
 def fsdp_sharding(
     pytree,
     mesh: jax.sharding.Mesh,
@@ -87,39 +153,52 @@ def fsdp_sharding(
     min_size_mbytes: int = 4,
     log: bool = False,
 ):
-    """FSDP placement policy: shard each large array's largest divisible axis.
+    """FSDP (+ optional tensor-parallel) placement policy.
 
-    Replicates (a) when fsdp dim is 1, (b) scalars/vectors, (c) arrays under
-    ``min_size_mbytes``; otherwise shards the largest axis divisible by the fsdp mesh
-    dim. Parity: reference sharding.py:48-102.
+    Replicates (a) scalars/vectors, (b) arrays under ``min_size_mbytes``. Otherwise:
+    on a mesh with a >1 ``tp`` axis, a ``_TP_RULES`` match pins the tp axis to the
+    weight's head/hidden dim first; FSDP then shards the largest *remaining* axis
+    divisible by the fsdp mesh dim. On a 2-axis mesh (or tp=1) this reduces exactly
+    to the reference's FSDP policy (sharding.py:48-102): largest divisible axis.
     """
     min_size_bytes = min_size_mbytes * 2**20
+    n_fsdp = mesh.shape[FSDP_AXIS]
+    n_tp = tp_size(mesh)
+    replicated_s = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 
     def _shard_arr(kp, array):
-        if mesh.shape[FSDP_AXIS] == 1:
-            return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        if n_fsdp == 1 and n_tp == 1:
+            return replicated_s
         if not hasattr(array, "shape") or len(array.shape) < 2:
-            return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            return replicated_s
         if (arr_size := np.prod(array.shape) * np.dtype(array.dtype).itemsize) < min_size_bytes:
-            return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+            return replicated_s
 
-        axes = np.argsort(array.shape)[::-1]
-        spec = [None] * len(axes)
-        for i in axes:
-            if array.shape[i] % mesh.shape[FSDP_AXIS] == 0:
-                if log:
-                    logger.info(
-                        f"Sharding {jax.tree_util.keystr(kp)} of shape {array.shape} "
-                        f"({arr_size / 2**20:.2f} MiB) along axis {i}"
-                    )
-                spec[i] = FSDP_AXIS
-                return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(*spec))
-
+        spec = [None] * len(array.shape)
+        if n_tp > 1:
+            path = _path_str(kp)
+            for pattern, rel_axis in _TP_RULES:
+                if pattern.search(path):
+                    if len(array.shape) >= -rel_axis and array.shape[rel_axis] % n_tp == 0:
+                        spec[rel_axis % len(array.shape)] = TP_AXIS
+                    break
+        if n_fsdp > 1:
+            for i in np.argsort(array.shape)[::-1]:
+                if spec[i] is None and array.shape[i] % n_fsdp == 0:
+                    spec[i] = FSDP_AXIS
+                    break
+        if not any(spec):
+            if log:
+                logger.warning(
+                    f"Could not find a valid sharding for {jax.tree_util.keystr(kp)} of shape "
+                    f"{array.shape} with mesh of shape {mesh.shape}"
+                )
+            return replicated_s
         if log:
-            logger.warning(
-                f"Could not find a valid sharding for {jax.tree_util.keystr(kp)} of shape "
-                f"{array.shape} with mesh of shape {mesh.shape}"
+            logger.info(
+                f"Sharding {jax.tree_util.keystr(kp)} of shape {array.shape} "
+                f"({arr_size / 2**20:.2f} MiB) as {tuple(spec)}"
             )
-        return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(*spec))
 
     return jax.tree_util.tree_map_with_path(_shard_arr, pytree)

@@ -253,8 +253,21 @@ class TrainConfig:
     # The default is read from KAI0_INT8 at construction; an explicit value wins.
     quantize_frozen: bool = dataclasses.field(default_factory=lambda: _quant.env_flag("KAI0_INT8"))
 
+    # Storage dtype for TRAINABLE params. None keeps the model's init dtype (f32 —
+    # exact reference parity). "bfloat16" halves param HBM and switches the train
+    # step to stochastically-rounded updates (optimizer.apply_updates_sr) so
+    # sub-ulp AdamW steps still accumulate; combined with
+    # optimizer.state_dtype="int8" this is what fits a full π₀.₅ fine-tune on a
+    # single 16 GB chip (PERF.md round 4).
+    param_dtype: str | None = None
+
     # FSDP sharding degree; >1 shards params across this many devices.
     fsdp_devices: int = 1
+    # Tensor-parallel degree (third mesh axis): >1 shards attention heads and FFN
+    # hidden dims across this many devices via the name-aware rules in
+    # kai0_tpu/parallel/sharding.py. TPU-native addition beyond the reference's
+    # 2-axis mesh; 1 keeps the (batch, fsdp) mesh unchanged.
+    tp_devices: int = 1
     # Arrays smaller than this are replicated rather than FSDP-sharded. Lowered to 0
     # by the multi-chip dryrun so tiny debug models still exercise param sharding.
     fsdp_min_size_mbytes: int = 4

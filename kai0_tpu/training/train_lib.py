@@ -66,6 +66,9 @@ def init_train_state(config: _config.TrainConfig, init_rng, mesh, *, resume: boo
                 raise ValueError(f"Loaded params contain unknown keys: {sorted(unknown)[:10]}")
             flat.update(flat_loaded)
             params = unflatten_dict(flat)
+        if config.param_dtype is not None:
+            # bf16 trainable storage (SR updates in train_step keep sub-ulp steps).
+            params = jax.tree.map(lambda p: p.astype(config.param_dtype), params)
         if frozen_exists:
             # Frozen params are stored in bfloat16 (reference train.py:107).
             params = jax.tree.map(
@@ -118,7 +121,14 @@ def train_step(config, tx, trainable_mask, rng, state: training_utils.TrainState
     loss, grads = jax.value_and_grad(loss_fn)(trainable)
 
     updates, new_opt_state = tx.update(grads, state.opt_state, trainable)
-    new_trainable = optax.apply_updates(trainable, updates)
+    if config.param_dtype == "bfloat16":
+        # bf16 trainable storage: stochastically-rounded apply (sub-ulp AdamW steps
+        # accumulate in expectation; plain += would silently drop them).
+        new_trainable = _optimizer.apply_updates_sr(
+            trainable, updates, jax.random.fold_in(jax.random.key(0x7072, impl="rbg"), state.step)
+        )
+    else:
+        new_trainable = optax.apply_updates(trainable, updates)
     new_params = training_utils.merge_by_mask(new_trainable, frozen)
 
     new_state = dataclasses.replace(
@@ -172,15 +182,19 @@ def main(config: _config.TrainConfig):
     # config name + this line.
     logger.info(f"Model knobs: {config.apply_model_knobs()}")
 
-    if config.batch_size % jax.device_count() != 0:
+    # The batch dim is sharded over (batch, fsdp) only — a tp group shares its
+    # per-group batch shard, so the divisor is devices/tp, not devices.
+    n_data_shards = jax.device_count() // max(config.tp_devices, 1)
+    if config.batch_size % n_data_shards != 0:
         raise ValueError(
-            f"Batch size {config.batch_size} must be divisible by the number of devices {jax.device_count()}."
+            f"Batch size {config.batch_size} must be divisible by the number of data shards "
+            f"{n_data_shards} (devices {jax.device_count()} / tp {config.tp_devices})."
         )
 
     rng = jax.random.key(config.seed)
     train_rng, init_rng = jax.random.split(rng)
 
-    mesh = sharding.make_mesh(config.fsdp_devices)
+    mesh = sharding.make_mesh(config.fsdp_devices, num_tp_devices=config.tp_devices)
     data_sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(sharding.DATA_AXIS))
     replicated_sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
 

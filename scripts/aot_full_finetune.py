@@ -50,7 +50,7 @@ def get_topology(name: str, fsdp: int):
     return devs, f"attached {devs[0].device_kind} ×{len(devs)}"
 
 
-def build_lowered(batch_size: int, fsdp: int, devices):
+def build_lowered(batch_size: int, fsdp: int, devices, tp: int = 1, param_dtype: str | None = None, opt_state: str | None = None):
     import dataclasses
     import functools
 
@@ -59,8 +59,9 @@ def build_lowered(batch_size: int, fsdp: int, devices):
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import train_lib
 
-    fsdp = min(fsdp, len(devices))
-    mesh = sharding.make_mesh(fsdp, devices=devices[: fsdp * (len(devices) // fsdp)])
+    fsdp = min(fsdp, max(1, len(devices) // tp))
+    n_used = fsdp * tp * (len(devices) // (fsdp * tp))
+    mesh = sharding.make_mesh(fsdp, num_tp_devices=tp, devices=devices[:n_used])
 
     model = _pi0.Pi0Config(pi05=True)  # full-size, full-precision π₀.₅
     config = dataclasses.replace(
@@ -69,8 +70,14 @@ def build_lowered(batch_size: int, fsdp: int, devices):
         batch_size=batch_size,
         exp_name="aot_full_ft",
         fsdp_devices=fsdp,
+        tp_devices=tp,
         ema_decay=None,  # reference full-FT kai0 configs disable EMA too
+        param_dtype=param_dtype,
     )
+    if opt_state:
+        config = dataclasses.replace(
+            config, optimizer=dataclasses.replace(config.optimizer, state_dtype=opt_state)
+        )
     # Non-LoRA variants have an empty freeze filter: every parameter trains.
 
     rng = jax.random.key(0)
@@ -129,18 +136,23 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--fsdp", type=int, default=8)
+    ap.add_argument("--tp", type=int, default=1, help="tensor-parallel mesh axis size")
+    ap.add_argument("--param_dtype", default=None, help="e.g. bfloat16 (SR-update trainable params)")
+    ap.add_argument("--opt_state", default=None, help="optimizer state dtype: bfloat16 | int8")
     ap.add_argument("--topology", default="v5e-8")
     ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
 
-    devices, desc = get_topology(args.topology, args.fsdp)
+    devices, desc = get_topology(args.topology, args.fsdp * args.tp)
     print(f"AOT target: {desc}", file=sys.stderr)
 
     batches = [args.batch] if not args.sweep else [32, 64, 96, 128, 192, 256]
     ok = False
     for b in batches:
         try:
-            lowered, mesh = build_lowered(b, args.fsdp, devices)
+            lowered, mesh = build_lowered(
+                b, args.fsdp, devices, tp=args.tp, param_dtype=args.param_dtype, opt_state=args.opt_state
+            )
             report(lowered, mesh, b)
             ok = True
         except Exception as e:  # noqa: BLE001
