@@ -36,7 +36,7 @@ import jax.numpy as jnp
 A100_BASELINE_SAMPLES_PER_SEC = 6.7  # analytic estimate, see module docstring
 
 
-def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
+def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False, param_dtype: str | None = None):
     import os
 
     from kai0_tpu.parallel import sharding
@@ -51,6 +51,7 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False):
         fsdp_devices=mesh.shape[sharding.FSDP_AXIS],
         ema_decay=None,  # EMA doubles param HBM; reference kai0 configs disable it too
         quantize_frozen=quantize_frozen,
+        param_dtype=param_dtype,
     )
     # bf16 AdamW moment storage (the SigLIP tower alone carries ~3.2 GB of f32 m/v
     # at full size) frees ~1.6 GB — what lets batch 14 fit — and is itself +0.4%

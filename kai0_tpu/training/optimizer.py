@@ -108,6 +108,66 @@ def _stochastic_round_bf16(x: jax.Array, key: jax.Array) -> jax.Array:
     return jnp.where(jnp.isfinite(xf), rounded, xf.astype(jnp.bfloat16))
 
 
+# --------------------------------------------------------------------------------------
+# 8-bit blockwise moment storage (state_dtype="int8")
+#
+# Each moment leaf is stored as {"q": int8, "s": f32 per block of _QBLOCK} with a
+# LOG-spaced magnitude code (7 bits of magnitude + sign for mu; 8 bits for the
+# non-negative nu): code k represents s · RATIO^(k - K) — i.e. a blockwise dynamic
+# range of RATIO^K ≈ 1e-7..1 relative to the block absmax, with ~±6% relative
+# resolution at every magnitude. This is what makes 8-bit *moments* safe where
+# linear int8 is not: a v element 10^-6 of its block's absmax still gets a faithful
+# code instead of quantizing to zero (update ≈ m/eps blow-up). Rounding to the log
+# grid is *stochastic* (unbiased in the log domain), so sub-resolution EMA
+# increments survive in expectation exactly like the bf16-SR path below.
+# Convergence A/B: tests/test_optimizer.py long-horizon harness + on-chip
+# check (PERF.md round 4). HBM: 3.2B-param full fine-tune state drops from
+# 25.6 GB (f32) / 12.8 GB (bf16) to 6.4 GB + 0.2% scales — what makes single-chip
+# full-FT of π₀.₅ possible at all on a 16 GB v5e.
+# --------------------------------------------------------------------------------------
+
+_QBLOCK = 2048  # elements per scale block (bitsandbytes-style blockwise quantization)
+_QDECADES = 7.0  # magnitude span below the block absmax, in decades
+
+
+def _q8_encode(x: jax.Array, key: jax.Array, *, signed: bool) -> dict:
+    """Blockwise log-domain 8-bit quantization with stochastic rounding.
+
+    Returns ``{"q": int8|uint8 [x.shape], "s": f32 [n_blocks]}``. Code 0 encodes
+    exact zero (and anything below the scale·10^-7 dynamic-range floor); code k>0
+    encodes magnitude ``s · exp((k - levels) · step)``.
+    """
+    orig_shape = x.shape
+    xf = x.astype(jnp.float32).reshape(-1)
+    pad = (-xf.size) % _QBLOCK
+    blocks = jnp.pad(xf, (0, pad)).reshape(-1, _QBLOCK)
+    absx = jnp.abs(blocks)
+    scale = jnp.max(absx, axis=1, keepdims=True)  # block absmax, f32
+    levels = 127.0 if signed else 255.0
+    step = _QDECADES * jnp.log(10.0) / levels  # log distance between adjacent codes
+    safe_scale = jnp.where(scale > 0, scale, 1.0)
+    logmag = jnp.log(jnp.maximum(absx / safe_scale, 1e-38)) / step + levels
+    # Stochastic rounding in the log-index domain: floor(idx + U[0,1)) rounds up
+    # with probability equal to the fractional part — unbiased in log space.
+    u = jax.random.uniform(key, blocks.shape, jnp.float32)
+    code = jnp.where(absx > 0, jnp.clip(jnp.floor(logmag + u), 0.0, levels), 0.0)
+    q = (jnp.sign(blocks) * code).astype(jnp.int8) if signed else code.astype(jnp.uint8)
+    return {"q": q.reshape(-1)[: xf.size].reshape(orig_shape), "s": scale[:, 0]}
+
+
+def _q8_decode(packed: dict, dtype=jnp.float32) -> jax.Array:
+    q, scale = packed["q"], packed["s"]
+    signed = q.dtype == jnp.int8
+    levels = 127.0 if signed else 255.0
+    step = _QDECADES * jnp.log(10.0) / levels
+    qf = q.astype(jnp.float32).reshape(-1)
+    pad = (-qf.size) % _QBLOCK
+    qb = jnp.pad(qf, (0, pad)).reshape(-1, _QBLOCK)
+    mag = jnp.exp((jnp.abs(qb) - levels) * step) * scale[:, None]
+    val = jnp.where(qb == 0, 0.0, jnp.sign(qb) * mag if signed else mag)
+    return val.reshape(-1)[: q.size].reshape(q.shape).astype(dtype)
+
+
 def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> optax.GradientTransformation:
     """``optax.scale_by_adam`` with both moments *stored* in ``state_dtype``.
 
@@ -136,6 +196,8 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
     enough to fit the remat save-sets that measured OOM-by-<700 MB (PERF.md
     "knob sweep") at batch 12.
     """
+    if str(state_dtype) == "int8":
+        return _scale_by_adam_q8(b1, b2, eps)
     state_dtype = jnp.dtype(state_dtype)
 
     def init(params):
@@ -171,6 +233,95 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
     return optax.GradientTransformation(init, update)
 
 
+def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
+    """``scale_by_adam`` with both moments stored 8-bit blockwise (see _q8_encode).
+
+    Moment math runs in f32 per leaf: decode → EMA recurrence → bias-corrected
+    update → re-encode with step-deterministic SR keys. ``mu`` is signed int8,
+    ``nu`` unsigned uint8 (one extra magnitude bit).
+    """
+
+    def _zeros_packed(p, qdtype):
+        n_blocks = -(-p.size // _QBLOCK)
+        return {"q": jnp.zeros(p.shape, qdtype), "s": jnp.zeros((n_blocks,), jnp.float32)}
+
+    def init(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(lambda p: _zeros_packed(p, jnp.int8), params),
+            nu=jax.tree.map(lambda p: _zeros_packed(p, jnp.uint8), params),
+        )
+
+    def update(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c1 = 1 - b1**count
+        c2 = 1 - b2**count
+        g_leaves, treedef = jax.tree.flatten(updates)
+        mu_packed = treedef.flatten_up_to(state.mu)
+        nu_packed = treedef.flatten_up_to(state.nu)
+        base = jax.random.fold_in(jax.random.key(0x6B62, impl="rbg"), count)
+        out, new_mu, new_nu = [], [], []
+        for i, (g, mp, vp) in enumerate(zip(g_leaves, mu_packed, nu_packed, strict=True)):
+            gf = g.astype(jnp.float32)
+            m = b1 * _q8_decode(mp) + (1 - b1) * gf
+            v = b2 * _q8_decode(vp) + (1 - b2) * (gf * gf)
+            out.append(((m / c1) / (jnp.sqrt(v / c2) + eps)).astype(g.dtype))
+            new_mu.append(_q8_encode(m, jax.random.fold_in(base, 2 * i), signed=True))
+            new_nu.append(_q8_encode(v, jax.random.fold_in(base, 2 * i + 1), signed=False))
+        return treedef.unflatten(out), optax.ScaleByAdamState(
+            count=count, mu=treedef.unflatten(new_mu), nu=treedef.unflatten(new_nu)
+        )
+
+    return optax.GradientTransformation(init, update)
+
+
+def _clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` with the norm accumulated in f32.
+
+    With bf16 gradients (the ``param_dtype="bfloat16"`` full-FT configuration)
+    optax's ``global_norm`` would sum billions of bf16 squares in bf16 — 8 mantissa
+    bits of accumulator — and return noise. Same clipping rule, f32 accumulation;
+    the cast fuses into the per-leaf reduction, so no f32 copy is materialized.
+    """
+
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        norm = jnp.sqrt(sum(jnp.sum(jnp.square(u.astype(jnp.float32))) for u in jax.tree.leaves(updates)))
+        # optax semantics: scale only when norm exceeds max_norm.
+        scale = jnp.where(norm < max_norm, 1.0, max_norm / norm)
+        return jax.tree.map(lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype), updates), state
+
+    return optax.GradientTransformation(init, update)
+
+
+def apply_updates_sr(params, updates, key: jax.Array):
+    """``optax.apply_updates`` that stochastically rounds into bf16 parameters.
+
+    Plain ``p + u.astype(p.dtype)`` silently drops updates smaller than half a
+    bf16 ulp (~0.4% of |p| — AdamW steps at lr 2.5e-5 are far below that), which
+    stalls bf16-parameter training. Here bf16 leaves are updated in f32 and
+    stochastically rounded back (unbiased, so sub-ulp steps accumulate in
+    expectation — the standard recipe for bf16-weight training); non-bf16 leaves
+    get the plain optax update.
+    """
+    leaves, treedef = jax.tree.flatten(params)
+    up_leaves = treedef.flatten_up_to(updates)
+    new = []
+    for i, (p, u) in enumerate(zip(leaves, up_leaves, strict=True)):
+        if u is None:
+            new.append(p)
+        elif p.dtype == jnp.bfloat16:
+            new.append(_stochastic_round_bf16(p.astype(jnp.float32) + u.astype(jnp.float32), jax.random.fold_in(key, i)))
+        else:
+            new.append((p + u.astype(p.dtype)).astype(p.dtype))
+    return treedef.unflatten(new)
+
+
 @dataclass(frozen=True)
 class AdamW:
     """Global-norm-clipped AdamW, built from optax primitives.
@@ -181,7 +332,9 @@ class AdamW:
     ``state_dtype`` selects the *storage* dtype of the two Adam moments
     (``None`` → f32, exact reference parity; ``"bfloat16"`` halves optimizer
     HBM — see ``_scale_by_adam_compact`` for the numerics argument and the
-    convergence A/B protocol in PERF.md).
+    convergence A/B protocol in PERF.md; ``"int8"`` stores both moments 8-bit
+    blockwise log-quantized — quarter HBM, the single-chip full-FT enabler, see
+    ``_scale_by_adam_q8``).
     """
 
     b1: float = 0.9
@@ -196,8 +349,16 @@ class AdamW:
             scale_by_adam = optax.scale_by_adam(b1=self.b1, b2=self.b2, eps=self.eps)
         else:
             scale_by_adam = _scale_by_adam_compact(self.b1, self.b2, self.eps, self.state_dtype)
+        # int8 state is the bf16-gradient configuration: the norm clip must
+        # accumulate in f32 (optax's would sum bf16 squares in bf16). Elsewhere
+        # keep optax's transform for bit parity with the reference update rule.
+        clip = (
+            _clip_by_global_norm_f32(self.clip_gradient_norm)
+            if str(self.state_dtype) == "int8"
+            else optax.clip_by_global_norm(self.clip_gradient_norm)
+        )
         return optax.chain(
-            optax.clip_by_global_norm(self.clip_gradient_norm),
+            clip,
             scale_by_adam,
             optax.add_decayed_weights(self.weight_decay, mask=weight_decay_mask),
             optax.scale_by_learning_rate(lr),  # includes the sign flip

@@ -37,6 +37,60 @@ def test_select_mode_full_branch():
     assert not frozen("img/Transformer/encoderblock/MlpBlock_0/Dense_0/kernel")
 
 
+def test_full_ft_single_chip_precision_modes_optimize():
+    """The single-chip full-FT configuration (bf16-SR params + int8 blockwise
+    AdamW moments — scripts/bench_full_finetune.py) must still optimize: 30
+    steps on one fixed batch cut the loss comparably to the f32 run above."""
+    import bench
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.parallel import sharding
+    from kai0_tpu.training import config as _config
+
+    model = _pi0.Pi0Config(
+        paligemma_variant="dummy",
+        action_expert_variant="dummy",
+        vision_variant="mu/14",
+        dtype="float32",
+        pi05=True,
+    )
+    mesh = sharding.make_mesh(1, devices=jax.devices()[:1])
+    orig = _config.get_config("debug")
+    import os
+
+    old_env = os.environ.get("KAI0_BENCH_OPT_STATE")
+    try:
+        os.environ["KAI0_BENCH_OPT_STATE"] = "int8"
+        _config.registry()["debug"] = dataclasses.replace(
+            orig,
+            fsdp_min_size_mbytes=0,
+            lr_schedule=dataclasses.replace(
+                orig.lr_schedule, peak_lr=1e-3, decay_lr=1e-3, warmup_steps=0
+            ),
+        )
+        step, multi_step, state, batch, rng = bench.build(
+            model, mesh, batch_size=4, param_dtype="bfloat16"
+        )
+        # Params really are bf16, moments really are 8-bit.
+        import jax.numpy as jnp
+
+        assert all(p.dtype == jnp.bfloat16 for p in jax.tree.leaves(state.params))
+        opt_dtypes = {x.dtype for x in jax.tree.leaves(state.opt_state)}
+        assert {np.dtype("int8"), np.dtype("uint8")} <= opt_dtypes, opt_dtypes
+        with sharding.set_mesh(mesh):
+            state, info = step(rng, state, batch)
+            first = float(info["loss"])
+            state, info = multi_step(30, rng, state, batch)
+            final = float(info["loss"])
+        assert np.isfinite(first) and np.isfinite(final)
+        assert final < 0.7 * first, (first, final)
+    finally:
+        _config.registry()["debug"] = orig
+        if old_env is None:
+            os.environ.pop("KAI0_BENCH_OPT_STATE", None)
+        else:
+            os.environ["KAI0_BENCH_OPT_STATE"] = old_env
+
+
 def test_full_ft_optimizes_on_8dev_mesh():
     """30 full-FT steps on one fixed batch must cut the loss (memorization)."""
     import bench

@@ -206,3 +206,127 @@ def test_sr_nu_is_deterministic_given_step():
         _, s1 = tx.update(g, s1)
         _, s2 = tx.update(g, s2)
     assert np.array_equal(np.asarray(s1.nu["w"]), np.asarray(s2.nu["w"]))
+
+
+# --------------------------------------------------------------------------------------
+# 8-bit blockwise moment storage (state_dtype="int8") — the single-chip full-FT enabler
+# --------------------------------------------------------------------------------------
+
+
+def test_q8_encode_decode_roundtrip():
+    """Log-domain 8-bit codes: zeros exact, wide dynamic range preserved, SR
+    unbiased enough that the decoded median relative error is within one grid step."""
+    key = jax.random.key(0)
+    # Values spanning 6 decades within one block, plus exact zeros.
+    x = jnp.concatenate(
+        [
+            jnp.zeros(100),
+            10.0 ** jax.random.uniform(key, (4000,), minval=-6.0, maxval=0.0),
+            -(10.0 ** jax.random.uniform(jax.random.fold_in(key, 1), (4000,), minval=-6.0, maxval=0.0)),
+        ]
+    )
+    for signed in (True, False):
+        xs = jnp.abs(x) if not signed else x
+        packed = opt._q8_encode(xs, jax.random.key(7), signed=signed)
+        assert packed["q"].dtype == (jnp.int8 if signed else jnp.uint8)
+        assert packed["s"].shape == (-(-xs.size // opt._QBLOCK),)
+        dec = opt._q8_decode(packed)
+        # exact zeros stay zero
+        np.testing.assert_array_equal(np.asarray(dec[:100]), 0.0)
+        nz = np.asarray(xs[100:])
+        rel = np.abs(np.asarray(dec[100:]) - nz) / np.abs(nz)
+        # one SR log-step is exp(7·ln10/levels) − 1 ≈ 13% (signed) / 6% (unsigned)
+        step = np.exp(7.0 * np.log(10.0) / (127.0 if signed else 255.0)) - 1.0
+        assert np.median(rel) < step, (signed, np.median(rel), step)
+        assert np.max(rel) < 2.5 * step + 1e-6, (signed, np.max(rel))
+        # signs survive
+        assert np.all(np.sign(np.asarray(dec[100:])) == np.sign(nz))
+
+
+def test_adamw_q8_tracks_f32_and_stores_8bit():
+    """state_dtype="int8": moments are stored as blockwise int8/uint8 (+f32 block
+    scales) and a few steps track the exact-AdamW trajectory to quantization
+    tolerance."""
+    lr = 1e-2
+    params = {
+        "w": jnp.array([[0.3, -1.2], [2.0, 0.1]], jnp.float32),
+        "b": jnp.array([0.5, -0.5], jnp.float32),
+    }
+
+    def run(cfg, steps=5):
+        tx = cfg.create(lr)
+        state = tx.init(params)
+        p = params
+        for i in range(steps):
+            grads = jax.tree.map(lambda x: jnp.sin(x + i).astype(jnp.float32), p)
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p, state
+
+    p_ref, _ = run(opt.AdamW())
+    p_q8, state_q8 = run(opt.AdamW(state_dtype="int8"))
+    adam_state = next(
+        s for s in jax.tree.leaves(state_q8, is_leaf=lambda x: isinstance(x, optax.ScaleByAdamState))
+    )
+    is_packed = lambda x: isinstance(x, dict) and set(x) == {"q", "s"}  # noqa: E731
+    assert all(leaf["q"].dtype == jnp.int8 for leaf in jax.tree.leaves(adam_state.mu, is_leaf=is_packed))
+    assert all(leaf["q"].dtype == jnp.uint8 for leaf in jax.tree.leaves(adam_state.nu, is_leaf=is_packed))
+    # lr-scale trajectory agreement: per-step update error is bounded by the SR
+    # grid (~±13%) of an lr-sized step.
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=5 * lr * 0.3),
+        p_q8,
+        p_ref,
+    )
+
+
+def test_adamw_q8_optimizes_like_f32():
+    """Functional convergence A/B: 300 AdamW steps on a quadratic. The 8-bit-state
+    run must reach (near) the f32-state loss — the moments carry enough fidelity
+    to optimize, not just to store."""
+
+    def train(state_dtype, steps=300):
+        cfg = opt.AdamW(state_dtype=state_dtype)
+        tx = cfg.create(lambda _: 5e-2)
+        key = jax.random.key(3)
+        p = {"w": jax.random.normal(key, (64, 64)) * 2.0}
+        target = jax.random.normal(jax.random.fold_in(key, 1), (64, 64))
+        state = tx.init(p)
+
+        @jax.jit
+        def step(p, state):
+            loss, grads = jax.value_and_grad(lambda q: jnp.mean((q["w"] - target) ** 2))(p)
+            updates, state = tx.update(grads, state, p)
+            return optax.apply_updates(p, updates), state, loss
+
+        for _ in range(steps):
+            p, state, loss = step(p, state)
+        return float(loss)
+
+    loss_f32 = train(None)
+    loss_q8 = train("int8")
+    assert loss_q8 < max(4 * loss_f32, 1e-3), (loss_q8, loss_f32)
+
+
+def test_apply_updates_sr_bf16_accumulates_subulp():
+    """Sub-ulp updates into bf16 params: plain += drops them, SR accumulates them
+    in expectation; f32 leaves take the exact optax update."""
+    n = 20000
+    p = {"w16": jnp.ones((n,), jnp.bfloat16), "w32": jnp.ones((4,), jnp.float32)}
+    # 1/10 of a bf16 ulp at 1.0 (ulp = 2^-7): rounds to nothing deterministically.
+    u = {"w16": jnp.full((n,), 2.0**-7 / 10, jnp.float32), "w32": jnp.full((4,), 0.25, jnp.float32)}
+    plain = optax.apply_updates(p, u)
+    assert float(jnp.mean(plain["w16"].astype(jnp.float32))) == 1.0  # update lost
+
+    new = opt.apply_updates_sr(p, u, jax.random.key(0))
+    assert new["w16"].dtype == jnp.bfloat16 and new["w32"].dtype == jnp.float32
+    mean_gain = float(jnp.mean(new["w16"].astype(jnp.float32))) - 1.0
+    np.testing.assert_allclose(mean_gain, 2.0**-7 / 10, rtol=0.15)  # unbiased in expectation
+    np.testing.assert_allclose(np.asarray(new["w32"]), 1.25, rtol=1e-7)
+
+    # repeated application drifts upward like the f32 trajectory would
+    q = p
+    for i in range(50):
+        q = opt.apply_updates_sr(q, u, jax.random.key(i))
+    drift = float(jnp.mean(q["w16"].astype(jnp.float32))) - 1.0
+    np.testing.assert_allclose(drift, 50 * 2.0**-7 / 10, rtol=0.2)
