@@ -60,6 +60,7 @@ class Knobs:
     int8_splitdot: bool | None = None
     int8_ffn: str | None = None  # fused | split
     int8_switchback: str | None = None  # 0 | 1 | all | site list
+    int8_sb_gemma: str | None = None  # 0 | 1 | all | attn,ffn (full-FT trainable gemma)
     int8_sites: str | None = None  # None = per-call default
     int8_siglip: str | None = None  # 0 | all | site list
     # --- tokenizer assets ---
@@ -88,6 +89,7 @@ _ENV = {
     "int8_splitdot": "KAI0_INT8_SPLITDOT",
     "int8_ffn": "KAI0_INT8_FFN",
     "int8_switchback": "KAI0_INT8_SB",
+    "int8_sb_gemma": "KAI0_INT8_SB_GEMMA",
     "int8_sites": "KAI0_INT8_SITES",
     "int8_siglip": "KAI0_INT8_SIGLIP",
     "paligemma_tokenizer": "KAI0_PALIGEMMA_TOKENIZER",
@@ -115,6 +117,7 @@ _DEFAULTS = {
     "int8_splitdot": True,
     "int8_ffn": "fused",
     "int8_switchback": "0",
+    "int8_sb_gemma": "0",
     "int8_sites": None,
     "int8_siglip": "0",
     "paligemma_tokenizer": None,

@@ -69,6 +69,10 @@ def apply_einsum(params: dict, eqn: str, x: jax.Array, lora_config: LoRAConfig |
         # trades that for serialization. Keep the plain add (base dot first: even
         # the trace-order swap of lora-before-base costs ~0.6% in XLA's schedule).
         result = _quant.apply_quant_einsum(w, eqn, x)
+    elif _quant.switchback_gemma_enabled("attn"):
+        # Trainable base (full fine-tune): SwitchBack dynamic int8 — fwd + dgrad
+        # int8, wgrad bf16 (quant.switchback_einsum; KAI0_INT8_SB_GEMMA=attn).
+        result = _quant.switchback_einsum(eqn, x, w)
     else:
         result = jnp.einsum(eqn, x, w.astype(dtype))
     if (config := lora_config) and "lora_a" in params:
@@ -129,6 +133,11 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
             # full read+write of the [B,T,F] base output per site — see _make_qmm).
             add = None if lora_ab is None else lora_term(x, lora_ab)
             return _quant.apply_quant_einsum(w, "BTF,FD->BTD", x, add=add)
+        if _quant.switchback_gemma_enabled("ffn"):
+            # Trainable base (full fine-tune): dynamic int8 fwd + dgrad, bf16
+            # wgrad (KAI0_INT8_SB_GEMMA=ffn). These K≥2048 gated-FFN dots are
+            # where the SwitchBack economics flip positive — see quant.py.
+            return _quant.switchback_einsum("BTD,DF->BTF", x, w) + lora_term(x, lora_ab)
         return jnp.dot(x, w.astype(x.dtype)) + lora_term(x, lora_ab)
 
     has_lora = "gating_einsum_lora_a" in params

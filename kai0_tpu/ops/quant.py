@@ -666,6 +666,27 @@ def switchback_enabled(site: str = "") -> bool:
     return site in spec.split(",")
 
 
+def switchback_gemma_enabled(site: str) -> bool:
+    """Dynamic int8 for the *trainable* gemma matmuls (``KAI0_INT8_SB_GEMMA``).
+
+    The full fine-tune trains every gemma weight, so the frozen-base static
+    quantization (``KAI0_INT8``) cannot apply — but the SwitchBack recipe can:
+    these are exactly the K≥2048 trainable matmuls where PERF.md round 2
+    predicted its economics flip (the SigLIP K=1152/4304 sites measured
+    negative; the gemma gate/up K=2048 N=16384 dots run 1.4-1.7× faster int8).
+    Sites: ``ffn`` (gate/up/down projections), ``attn`` (q/kv/out einsums —
+    smaller K·N, weaker int8 economics; A/B independently). Off by default —
+    LoRA mode quantizes the frozen base statically instead, and bf16 parity
+    tests require exact reference numerics.
+    """
+    spec = _knobs.get().int8_sb_gemma
+    if spec.lower() in ("0", "false", "off", "no", ""):
+        return False
+    if spec.lower() in ("1", "true", "on", "yes", "all"):
+        return True
+    return site in spec.split(",")
+
+
 def _col_quant(w2: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Symmetric per-output-channel dynamic quantization: w2 ≈ q * s, s f32 [N]."""
     s = jnp.maximum(jnp.max(jnp.abs(w2), axis=0).astype(jnp.float32), 1e-30) / 127.0
@@ -708,7 +729,9 @@ def switchback_einsum(eqn: str, x: jax.Array, w: jax.Array) -> jax.Array:
     the head-dim-72 lane padding that holds the SigLIP attention-projection einsums
     at ~52% of MXU peak in bf16 (see PERF.md).
     """
-    m = re.match(r"^([a-zA-Z]+),([a-zA-Z]+)->([a-zA-Z]+)$", eqn)
+    # Digits are valid jnp.einsum labels (a JAX extension numpy lacks) — gemma's
+    # stacked qkv/kv eqns use them ("BSD,2KDH->2BSKH").
+    m = re.match(r"^([a-zA-Z0-9]+),([a-zA-Z0-9]+)->([a-zA-Z0-9]+)$", eqn)
     if not m:
         raise ValueError(f"Unsupported einsum eqn: {eqn}")
     lhs, rhs, out = m.groups()

@@ -141,7 +141,12 @@ def main() -> int:
     ap.add_argument("--opt_state", default=None, help="optimizer state dtype: bfloat16 | int8")
     ap.add_argument("--topology", default="v5e-8")
     ap.add_argument("--sweep", action="store_true")
+    ap.add_argument("--sb", default=None, metavar="SITES",
+                    help="KAI0_INT8_SB_GEMMA sites (ffn / attn,ffn): prove the SwitchBack "
+                         "full-FT program partitions + buffer-assigns on the 8-chip mesh")
     args = ap.parse_args()
+    if args.sb:
+        os.environ.setdefault("KAI0_INT8_SB_GEMMA", args.sb)
 
     devices, desc = get_topology(args.topology, args.fsdp * args.tp)
     print(f"AOT target: {desc}", file=sys.stderr)

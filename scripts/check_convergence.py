@@ -29,6 +29,9 @@ def main() -> None:
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--full-ft", action="store_true",
+                   help="plain dummy variants (every param trains) — the A/B bed for "
+                        "the full-fine-tune paths (KAI0_INT8_SB_GEMMA, param_dtype SR)")
     args = p.parse_args()
 
     from kai0_tpu.ops import quant
@@ -41,8 +44,8 @@ def main() -> None:
         base,
         model=dataclasses.replace(
             base.model,
-            paligemma_variant="dummy_lora",
-            action_expert_variant="dummy_lora",
+            paligemma_variant="dummy" if args.full_ft else "dummy_lora",
+            action_expert_variant="dummy" if args.full_ft else "dummy_lora",
             dtype="bfloat16",
         ),
         exp_name="convergence",
@@ -68,7 +71,12 @@ def main() -> None:
         for i in range(args.steps):
             state, info = step(jax.random.fold_in(jax.random.key(args.seed + 1), i), state, (obs, actions))
             losses.append(round(float(info["loss"]), 6))
-    print(json.dumps({"int8": cfg.quantize_frozen, "sb": quant.switchback_enabled(), "losses": losses}))
+    print(json.dumps({
+        "int8": cfg.quantize_frozen,
+        "sb": quant.switchback_enabled(),
+        "sb_gemma": quant.switchback_gemma_enabled("ffn") or quant.switchback_gemma_enabled("attn"),
+        "losses": losses,
+    }))
 
 
 if __name__ == "__main__":

@@ -508,6 +508,70 @@ def test_siglip_switchback_close_to_bf16(monkeypatch):
     assert cos > 0.98, cos
 
 
+# The gemma trainable matmul sites (KAI0_INT8_SB_GEMMA — the full-FT fast path).
+# Digit labels are valid jnp.einsum subscripts (JAX extension); the stacked
+# qkv/kv eqns rely on that.
+SB_GEMMA_EQN_CASES = [
+    ("BSD,3KDH->3BSKH", (2, 7, 32), (3, 4, 32, 8)),  # fused qkv (MHA experts)
+    ("BTD,NDH->BTNH", (2, 7, 32), (4, 32, 8)),  # MQA q projection
+    ("BSD,2KDH->2BSKH", (2, 7, 32), (2, 1, 32, 8)),  # MQA kv projection
+    ("BTNH,NHD->BTD", (2, 7, 4, 8), (4, 8, 32)),  # out projection
+    ("BTD,DF->BTF", (2, 7, 32), (32, 64)),  # FFN gate/up/down (rank-2 dot form)
+]
+
+
+@pytest.mark.parametrize("eqn,x_shape,w_shape", SB_GEMMA_EQN_CASES)
+def test_switchback_gemma_eqns_match_bf16(eqn, x_shape, w_shape):
+    key = jax.random.key(23)
+    x = jax.random.normal(jax.random.fold_in(key, 1), x_shape, jnp.bfloat16)
+    w = jax.random.normal(jax.random.fold_in(key, 2), w_shape, jnp.bfloat16)
+    ref = jnp.einsum(eqn, x, w)
+    got = quant.switchback_einsum(eqn, x, w)
+    assert got.shape == ref.shape and got.dtype == ref.dtype
+    rel = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32))) / jnp.max(
+        jnp.abs(ref.astype(jnp.float32))
+    )
+    assert float(rel) < 0.05
+
+
+def test_gemma_switchback_full_ft_close_to_bf16(monkeypatch):
+    """KAI0_INT8_SB_GEMMA=all routes the trainable gemma matmuls (attention
+    einsums + gated FFN) through SwitchBack: loss and the full gradient tree —
+    including the base weight grads the full fine-tune needs — must track bf16."""
+    from kai0_tpu.models import gemma, lora
+
+    cfg = gemma.get_config("dummy")  # no LoRA: every base weight trains
+    params = jax.tree.map(
+        lambda p: p.astype(jnp.bfloat16),
+        gemma.init(jax.random.key(0), [cfg], [False]),
+    )
+    x = jax.random.normal(jax.random.key(1), (2, 9, cfg.width), jnp.bfloat16)
+
+    def loss(p):
+        ffn = lora.apply_ffn(p["layers"]["mlp"], x)
+        q = lora.apply_einsum(p["layers"]["attn"]["q_einsum"], "BTD,NDH->BTNH", x, None)
+        kv = lora.apply_einsum(p["layers"]["attn"]["kv_einsum"], "BSD,2KDH->2BSKH", x, None)
+        return (
+            jnp.sum(ffn.astype(jnp.float32) ** 2)
+            + jnp.sum(q.astype(jnp.float32) ** 2)
+            + jnp.sum(kv.astype(jnp.float32) ** 2)
+        )
+
+    # Single-layer slice of the stacked tree (apply paths run per-layer in scan).
+    layer0 = jax.tree.map(lambda p: p[0], params)
+
+    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "0")
+    ref, gref = jax.value_and_grad(loss)(layer0)
+    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "all")
+    got, ggot = jax.value_and_grad(loss)(layer0)
+    assert abs(float(got) - float(ref)) / abs(float(ref)) < 0.05
+    a = np.concatenate([np.asarray(v, np.float32).ravel() for v in jax.tree.leaves(ggot)])
+    b = np.concatenate([np.asarray(v, np.float32).ravel() for v in jax.tree.leaves(gref)])
+    assert np.isfinite(a).all()
+    cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.98, cos
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas int8 matmul (kai0_tpu/ops/pallas_quant.py), interpret mode on CPU
 # ---------------------------------------------------------------------------
