@@ -15,6 +15,7 @@ scripts/aot_full_finetune.py (topology-AOT for v5e-8; table in PERF.md).
 """
 
 import dataclasses
+import os
 import pathlib
 import sys
 
@@ -24,10 +25,17 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def test_select_mode_full_branch():
+def test_select_mode_full_branch(monkeypatch):
     import bench
 
+    # select_mode installs the full-FT bench env defaults (KAI0_INT8_SB_GEMMA=ffn,
+    # bench.apply_fullft_bench_defaults) — numerics-changing, so it must not leak
+    # into the rest of the suite (the golden-vs-reference tests run after this
+    # file and compare exact bf16 losses). monkeypatch reverts the setdefault.
+    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "")
+    monkeypatch.delenv("KAI0_INT8_SB_GEMMA")
     model, mode, batch_size, fsdp, quantize = bench.select_mode("tpu", 8)
+    assert os.environ.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
     assert mode == "full"
     assert batch_size == 64 and fsdp == 8
     assert not quantize  # full FT updates every weight: no frozen int8 base
