@@ -61,6 +61,7 @@ class Knobs:
     int8_ffn: str | None = None  # fused | split
     int8_switchback: str | None = None  # 0 | 1 | all | site list
     int8_sb_gemma: str | None = None  # 0 | 1 | all | attn,ffn (full-FT trainable gemma)
+    q8_pallas: bool | None = None  # fused Pallas kernel for the q8 AdamW phase
     int8_sites: str | None = None  # None = per-call default
     int8_siglip: str | None = None  # 0 | all | site list
     # --- tokenizer assets ---
@@ -90,6 +91,7 @@ _ENV = {
     "int8_ffn": "KAI0_INT8_FFN",
     "int8_switchback": "KAI0_INT8_SB",
     "int8_sb_gemma": "KAI0_INT8_SB_GEMMA",
+    "q8_pallas": "KAI0_Q8_PALLAS",
     "int8_sites": "KAI0_INT8_SITES",
     "int8_siglip": "KAI0_INT8_SIGLIP",
     "paligemma_tokenizer": "KAI0_PALIGEMMA_TOKENIZER",
@@ -118,6 +120,7 @@ _DEFAULTS = {
     "int8_ffn": "fused",
     "int8_switchback": "0",
     "int8_sb_gemma": "0",
+    "q8_pallas": True,
     "int8_sites": None,
     "int8_siglip": "0",
     "paligemma_tokenizer": None,

@@ -233,6 +233,18 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
     return optax.GradientTransformation(init, update)
 
 
+def _q8_pallas_enabled() -> bool:
+    """Fused Pallas kernel for the q8 AdamW phase (``KAI0_Q8_PALLAS``).
+
+    One VMEM pass per block tile (kai0_tpu/ops/pallas_q8.py) instead of the XLA
+    per-leaf fusion islands; TPU backends only. Off by default until the
+    measured-positive configurations are recorded in PERF.md.
+    """
+    from kai0_tpu import knobs as _knobs
+
+    return bool(_knobs.get().q8_pallas) and jax.default_backend() == "tpu"
+
+
 def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
     """``scale_by_adam`` with both moments stored 8-bit blockwise (see _q8_encode).
 
@@ -261,8 +273,25 @@ def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransfo
         mu_packed = treedef.flatten_up_to(state.mu)
         nu_packed = treedef.flatten_up_to(state.nu)
         base = jax.random.fold_in(jax.random.key(0x6B62, impl="rbg"), count)
+        use_pallas = _q8_pallas_enabled()
+        if use_pallas:
+            from kai0_tpu.ops import pallas_q8
+
+            # a·m/(sqrt(v)+b) ≡ (m/c1)/(sqrt(v/c2)+eps), folded outside the kernel.
+            scalars = jnp.stack([jnp.sqrt(c2) / c1, eps * jnp.sqrt(c2)]).astype(jnp.float32)
         out, new_mu, new_nu = [], [], []
         for i, (g, mp, vp) in enumerate(zip(g_leaves, mu_packed, nu_packed, strict=True)):
+            if use_pallas and g.size >= _QBLOCK:
+                seed = jax.random.randint(
+                    jax.random.fold_in(base, i), (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+                )
+                o, nm, nv = pallas_q8.adam_q8_leaf(
+                    g, mp["q"], mp["s"], vp["q"], vp["s"], scalars, seed, b1=b1, b2=b2
+                )
+                out.append(o)
+                new_mu.append(nm)
+                new_nu.append(nv)
+                continue
             gf = g.astype(jnp.float32)
             m = b1 * _q8_decode(mp) + (1 - b1) * gf
             v = b2 * _q8_decode(vp) + (1 - b2) * (gf * gf)

@@ -115,10 +115,15 @@ def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
 
         state, info = multi_step(n_steps, rng, state, batch)
         _ = float(info["loss"])
+        trace_dir = os.environ.get("KAI0_BENCH_TRACE")
+        if trace_dir:  # xprof capture of the measured program (PERF.md recipe)
+            jax.profiler.start_trace(trace_dir)
         t0 = time.time()
         state, info = multi_step(n_steps, rng, state, batch)
         _ = float(info["loss"])  # drain the axon pipeline
         elapsed = time.time() - t0
+        if trace_dir:
+            jax.profiler.stop_trace()
 
     samples_per_sec_per_chip = batch_size * n_steps / elapsed / n_chips
 

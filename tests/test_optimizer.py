@@ -330,3 +330,52 @@ def test_apply_updates_sr_bf16_accumulates_subulp():
         q = opt.apply_updates_sr(q, u, jax.random.key(i))
     drift = float(jnp.mean(q["w16"].astype(jnp.float32))) - 1.0
     np.testing.assert_allclose(drift, 50 * 2.0**-7 / 10, rtol=0.2)
+
+
+def test_pallas_q8_leaf_matches_xla_contract():
+    """Interpret-mode check of the fused q8-Adam kernel (kai0_tpu/ops/pallas_q8.py)
+    against the XLA leaf math: the bias-corrected update is deterministic (exact up
+    to the folded-scalar fp rewrite); the re-encoded moments land on the same log
+    grid (same block scales; decoded values within one stochastic-rounding step)."""
+    from kai0_tpu.ops import pallas_q8
+
+    b1, b2, eps, count = 0.9, 0.95, 1e-8, 7
+    c1, c2 = 1 - b1**count, 1 - b2**count
+    rng = np.random.default_rng(3)
+    shape = (3, 5, 500)  # 7500 elems: 4 blocks, padded tail
+    g = jnp.asarray(rng.normal(0, 1e-3, shape), jnp.bfloat16)
+    m_prev = jnp.asarray(rng.normal(0, 1e-3, shape), jnp.float32)
+    v_prev = jnp.asarray(np.abs(rng.normal(0, 1e-6, shape)), jnp.float32)
+    mp = opt._q8_encode(m_prev, jax.random.key(1), signed=True)
+    vp = opt._q8_encode(v_prev, jax.random.key(2), signed=False)
+
+    # XLA reference recurrence on the DECODED moments (exactly what the kernel sees)
+    gf = g.astype(jnp.float32)
+    m = b1 * opt._q8_decode(mp) + (1 - b1) * gf
+    v = b2 * opt._q8_decode(vp) + (1 - b2) * gf * gf
+    want = ((m / c1) / (jnp.sqrt(v / c2) + eps)).astype(g.dtype)
+
+    scalars = jnp.asarray([np.sqrt(c2) / c1, eps * np.sqrt(c2)], jnp.float32)
+    out, nm, nv = pallas_q8.adam_q8_leaf(
+        g, mp["q"], mp["s"], vp["q"], vp["s"], scalars, jnp.asarray([11], jnp.int32),
+        b1=b1, b2=b2, interpret=True,
+    )
+    assert out.shape == shape and out.dtype == g.dtype
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(want, np.float32), rtol=2e-2, atol=1e-9
+    )
+
+    step_s = opt._QDECADES * np.log(10.0) / 127.0
+    for pack, target, signed in ((nm, m, True), (nv, v, False)):
+        assert pack["q"].shape == shape and pack["s"].shape == mp["s"].shape
+        # block scales are the exact absmax of the f32 moment
+        blocks = np.pad(np.asarray(target).reshape(-1), (0, (-target.size) % opt._QBLOCK)).reshape(-1, opt._QBLOCK)
+        np.testing.assert_allclose(np.asarray(pack["s"]), np.abs(blocks).max(1), rtol=1e-6)
+        # decoded moments within one SR log-step of the true value (above the floor)
+        dec = np.asarray(opt._q8_decode(pack), np.float32).reshape(-1)
+        tgt = np.asarray(target, np.float32).reshape(-1)
+        scale_per_elem = np.repeat(np.abs(blocks).max(1), opt._QBLOCK)[: tgt.size]
+        big = np.abs(tgt) > scale_per_elem * 1e-6
+        ratio = dec[big] / tgt[big]
+        assert np.all(ratio > 0), "sign must be preserved"
+        assert np.all(np.abs(np.log(ratio)) <= step_s * 1.01), np.max(np.abs(np.log(ratio)))
