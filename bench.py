@@ -137,9 +137,11 @@ def apply_fullft_bench_defaults() -> None:
     batch 12, PERF.md round 4), convergence-validated vs bf16 (max 0.92% rel
     loss diff at dummy size, no drift — docs/conv_fullft_sb.json). The attn
     sites measured neutral-negative and stay off. KAI0_INT8_SB_GEMMA=0
-    reverts to the bf16 reference-parity step.
+    reverts to the bf16 reference-parity step. The 128-row SigLIP dense-MHA
+    backward q-block transfers from the LoRA knob set (+0.2%: 9.087 → 9.109).
     """
     os.environ.setdefault("KAI0_INT8_SB_GEMMA", "ffn")
+    os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
 
 
 def select_mode(backend: str, n_chips: int):

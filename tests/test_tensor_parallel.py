@@ -150,3 +150,17 @@ def test_tp_train_step_lora_variant():
         assert np.isfinite(float(info["loss"])) and np.isfinite(float(info["grad_norm"]))
     finally:
         _config.registry()["debug"] = orig
+
+
+def test_tp_train_step_switchback_gemma(monkeypatch):
+    """KAI0_INT8_SB_GEMMA routes the trainable gemma matmuls through the
+    SwitchBack custom-vjp dots; the (2,2,2) mesh must partition that program and
+    reproduce the 2-axis SB loss (GSPMD handles the custom-vjp int8 dots — the
+    multi-chip configuration where the SwitchBack economics matter most)."""
+    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "all")
+    devices = jax.devices()[:8]
+    loss_2ax, gnorm_2ax = _one_step(sharding.make_mesh(2, devices=devices), fsdp=2, tp=1)
+    loss_tp, gnorm_tp = _one_step(sharding.make_mesh(2, num_tp_devices=2, devices=devices), fsdp=2, tp=2)
+    assert np.isfinite(loss_tp) and np.isfinite(gnorm_tp)
+    np.testing.assert_allclose(loss_tp, loss_2ax, rtol=1e-5)
+    np.testing.assert_allclose(gnorm_tp, gnorm_2ax, rtol=1e-4)
