@@ -32,8 +32,12 @@ def _shard_map_batch(fn, *arrs, head_axes: tuple[int | None, ...] | None = None)
     the kernel runs in a ``shard_map``: the batch dim over the data axes, and —
     when the mesh has a >1 ``tp`` axis — each array's head dim (``head_axes``,
     None = no head dim, e.g. masks and MQA's single KV head) over ``tp``. Each
-    device computes its local (batch shard × head shard), no collectives; the
-    output inherits the first operand's specs. Falls back to replicated specs
+    device computes its local (batch shard × head shard), no collectives in the
+    forward; the output inherits the first operand's specs. Gradients of
+    tp-replicated operands (MQA's KV with q-heads sharded) ARE correct:
+    shard_map's transpose psums cotangents over unmentioned mesh axes even
+    with check_vma=False — verified empirically (custom-vjp matmul on a 4-way
+    mesh, replicated-operand grad matches the unsharded one to float noise). Falls back to replicated specs
     along either axis when sizes don't divide the mesh (e.g. batch-1 multi-chip
     serving).
     """

@@ -16,8 +16,10 @@ Numerics contract vs the XLA path:
   only the stochastic-rounding draw differs (Pallas per-core PRNG instead of
   jax.random) — same unbiased-in-log-space distribution, different stream.
 
-Enable with ``KAI0_Q8_PALLAS=1`` (kai0_tpu/knobs.py); falls back to the XLA
-path on CPU and for sub-block leaves.
+Default ON for single-device TPU meshes (``KAI0_Q8_PALLAS=0`` reverts to the
+XLA path); CPU backends, multi-device meshes (GSPMD cannot partition Mosaic
+custom calls), and sub-block leaves fall back — see
+``optimizer._q8_pallas_enabled``.
 """
 
 from __future__ import annotations
@@ -30,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_QBLOCK = 2048  # must match optimizer._QBLOCK (asserted at the call site)
+_QBLOCK = 2048  # must match optimizer._QBLOCK (asserted at the optimizer call site)
 _ROWS = 128  # block-rows per kernel program (VMEM budget ~4.5 MB of operands)
 
 _LEVELS_S = 127.0  # signed mu codes

@@ -234,15 +234,25 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
 
 
 def _q8_pallas_enabled() -> bool:
-    """Fused Pallas kernel for the q8 AdamW phase (``KAI0_Q8_PALLAS``).
+    """Fused Pallas kernel for the q8 AdamW phase (``KAI0_Q8_PALLAS``, default ON).
 
     One VMEM pass per block tile (kai0_tpu/ops/pallas_q8.py) instead of the XLA
-    per-leaf fusion islands; TPU backends only. Off by default until the
-    measured-positive configurations are recorded in PERF.md.
+    per-leaf fusion islands: 1.94× measured, and it removes the XLA path's f32
+    transient pool (PERF.md round 4). TPU backends only (CPU falls back), and
+    SINGLE-DEVICE meshes only: GSPMD cannot partition Mosaic custom calls
+    (the round-3 flash-attention lesson), and a shard_map wrapper would need
+    2048-aligned per-shard block structure to keep the checkpoint codec
+    stable — the multi-device configuration stays on the XLA path until that
+    is built and AOT-validated. ``KAI0_Q8_PALLAS=0`` selects the XLA path
+    everywhere.
     """
     from kai0_tpu import knobs as _knobs
+    from kai0_tpu.parallel import sharding as _sharding
 
-    return bool(_knobs.get().q8_pallas) and jax.default_backend() == "tpu"
+    if not (_knobs.get().q8_pallas and jax.default_backend() == "tpu"):
+        return False
+    mesh = _sharding.active_mesh()
+    return mesh is None or mesh.size == 1
 
 
 def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
@@ -277,6 +287,8 @@ def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransfo
         if use_pallas:
             from kai0_tpu.ops import pallas_q8
 
+            assert pallas_q8._QBLOCK == _QBLOCK, "kernel/codec block size drift"
+
             # a·m/(sqrt(v)+b) ≡ (m/c1)/(sqrt(v/c2)+eps), folded outside the kernel.
             scalars = jnp.stack([jnp.sqrt(c2) / c1, eps * jnp.sqrt(c2)]).astype(jnp.float32)
         out, new_mu, new_nu = [], [], []
@@ -305,27 +317,34 @@ def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransfo
     return optax.GradientTransformation(init, update)
 
 
+def global_norm_f32(tree) -> jax.Array:
+    """``optax.global_norm`` with f32 accumulation (sane for bf16 gradient trees)."""
+    return jnp.sqrt(sum(jnp.sum(jnp.square(u.astype(jnp.float32))) for u in jax.tree.leaves(tree)))
+
+
 def _clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
     """``optax.clip_by_global_norm`` with the norm accumulated in f32.
 
-    With bf16 gradients (the ``param_dtype="bfloat16"`` full-FT configuration)
-    optax's ``global_norm`` would sum billions of bf16 squares in bf16 — 8 mantissa
-    bits of accumulator — and return noise. Same clipping rule, f32 accumulation;
-    the cast fuses into the per-leaf reduction, so no f32 copy is materialized.
+    With bf16 gradients (the ``param_dtype="bfloat16"`` full-FT configuration —
+    regardless of the optimizer state dtype) optax's ``global_norm`` would sum
+    billions of bf16 squares in bf16 — 8 mantissa bits of accumulator — and
+    return noise. Dtypes are static at trace time, so all-f32 gradient trees
+    delegate to the optax transform itself (bit parity with the reference
+    update rule); anything narrower takes the f32-accumulated path, whose cast
+    fuses into the per-leaf reduction (no f32 copy is materialized).
     """
-
-    def init(params):
-        del params
-        return optax.EmptyState()
+    inner = optax.clip_by_global_norm(max_norm)
 
     def update(updates, state, params=None):
+        if all(u.dtype == jnp.float32 for u in jax.tree.leaves(updates)):
+            return inner.update(updates, state, params)
         del params
-        norm = jnp.sqrt(sum(jnp.sum(jnp.square(u.astype(jnp.float32))) for u in jax.tree.leaves(updates)))
+        norm = global_norm_f32(updates)
         # optax semantics: scale only when norm exceeds max_norm.
         scale = jnp.where(norm < max_norm, 1.0, max_norm / norm)
         return jax.tree.map(lambda u: (u.astype(jnp.float32) * scale).astype(u.dtype), updates), state
 
-    return optax.GradientTransformation(init, update)
+    return optax.GradientTransformation(inner.init, update)
 
 
 def apply_updates_sr(params, updates, key: jax.Array):
@@ -378,14 +397,11 @@ class AdamW:
             scale_by_adam = optax.scale_by_adam(b1=self.b1, b2=self.b2, eps=self.eps)
         else:
             scale_by_adam = _scale_by_adam_compact(self.b1, self.b2, self.eps, self.state_dtype)
-        # int8 state is the bf16-gradient configuration: the norm clip must
-        # accumulate in f32 (optax's would sum bf16 squares in bf16). Elsewhere
-        # keep optax's transform for bit parity with the reference update rule.
-        clip = (
-            _clip_by_global_norm_f32(self.clip_gradient_norm)
-            if str(self.state_dtype) == "int8"
-            else optax.clip_by_global_norm(self.clip_gradient_norm)
-        )
+        # The f32-accumulating clip delegates to the optax transform for all-f32
+        # gradient trees (bit parity with the reference update rule) and only
+        # takes the f32-accumulation path for narrower gradients — the hazard
+        # follows the GRADIENT dtype (param_dtype="bfloat16"), not state_dtype.
+        clip = _clip_by_global_norm_f32(self.clip_gradient_norm)
         return optax.chain(
             clip,
             scale_by_adam,

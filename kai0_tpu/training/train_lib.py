@@ -150,7 +150,14 @@ def train_step(config, tx, trainable_mask, rng, state: training_utils.TrainState
 
     info = {
         "loss": loss,
-        "grad_norm": optax.global_norm(grads),
+        # f32-accumulated for bf16 gradient trees (param_dtype="bfloat16"):
+        # optax.global_norm would sum billions of bf16 squares in bf16 and the
+        # logged metric would be noise. All-f32 trees take optax's exact path.
+        "grad_norm": (
+            optax.global_norm(grads)
+            if all(g.dtype == jnp.float32 for g in jax.tree.leaves(grads))
+            else _optimizer.global_norm_f32(grads)
+        ),
     }
     return new_state, info
 

@@ -174,6 +174,11 @@ def main() -> int:
     os.environ.setdefault("KAI0_REMAT", args.remat)
     if args.sb and args.sb != "0":
         os.environ.setdefault("KAI0_INT8_SB_GEMMA", args.sb)
+        import bench
+
+        # Single definition of the rest of the measured-best full-FT knob set
+        # (currently KAI0_SIGLIP_BLOCK_T_BWD=128) — must not drift from bench.py.
+        bench.apply_fullft_bench_defaults()
     if optimizer == "adamw_q8":
         os.environ.setdefault("KAI0_BENCH_OPT_STATE", "int8")
     else:
