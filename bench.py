@@ -158,11 +158,13 @@ def select_mode(backend: str, n_chips: int):
     if backend == "tpu" and n_chips >= 4:
         # FULL fine-tune (the reference's flagship workload: batch 256 on
         # 8×A100, reference config.py:1185-1188): every param trains, state
-        # FSDP-sharded over all chips, 8 samples/chip (AOT HBM budget in
-        # PERF.md round 3 shows 64/8-chip peaks ~11.4 GiB/device).
+        # FSDP-sharded over all chips, 16 samples/chip — the measured per-chip
+        # sweet spot under the fused SwitchBack FFN (PERF.md round 4: 9.80
+        # samples/s/chip at batch 16; v5e-8 AOT at global batch 128 peaks
+        # 13.97 GiB/device with the fused op, down from 15.69 without).
         model = _pi0.Pi0Config(pi05=True)
         mode = "full"
-        batch_size = 8 * n_chips
+        batch_size = 16 * n_chips
         fsdp = n_chips
         apply_fullft_bench_defaults()
     elif backend == "tpu":

@@ -141,6 +141,18 @@ def apply_ffn(params: dict, x: jax.Array) -> jax.Array:
         return jnp.dot(x, w.astype(x.dtype)) + lora_term(x, lora_ab)
 
     has_lora = "gating_einsum_lora_a" in params
+    if (
+        _quant.switchback_gemma_enabled("ffn")
+        and not _quant.is_quant(params["gating_einsum"])
+        and _quant.fused_ffn_enabled()
+        and not has_lora
+        and "linear_lora_a" not in params
+    ):
+        # Full fine-tune fast path: the whole FFN as one fused row-chunked
+        # SwitchBack op with in-scan weight-grad accumulation (KAI0_INT8_FFN=split
+        # reverts to the per-dot switchback path below for A/B).
+        gating = params["gating_einsum"]
+        return _quant.sb_fused_ffn(x, gating[0], gating[1], params["linear"])
     # The fused path threads one 6-factor LoRA tuple (gate, up, down); with
     # gate-only or down-only LoRA the split path below handles each projection
     # independently (fused would KeyError on the missing set — or worse,

@@ -638,6 +638,111 @@ def apply_fused_ffn(gating_qa: QuantArray, linear_qa: QuantArray, x: jax.Array, 
     return y2.reshape(*batch_shape, -1)
 
 
+@functools.lru_cache(maxsize=None)
+def _make_sb_fused_ffn(bwd_int8: bool, c: int):
+    """Fused gated FFN over TRAINABLE weights (the full-fine-tune SwitchBack path).
+
+    Same row-chunked custom-VJP shape as :func:`_make_fused_ffn` — forward saves
+    the op input plus the per-call col-quantized weights (int8 + scales, half the
+    bf16 weight bytes), nothing [rows, mlp_dim]-sized touches HBM — but here the
+    base weights themselves train: the backward's ``lax.scan`` accumulates
+    dWgate/dWup/dWdown in f32 carries (bf16 wgrad per the SwitchBack recipe:
+    the weight-gradient matmuls contract over tokens and stay full-precision,
+    only fwd + dgrad run int8).
+    """
+
+    def chunks(t):
+        return t.reshape(c, t.shape[0] // c, *t.shape[1:])
+
+    def fwd_impl(x2, qg, sg, qu, su, qd, sd):
+        def one(x_c):
+            xq, sx = _row_quant(x_c)
+            gate, up = _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, None)
+            act = jax.nn.gelu(gate) * up
+            return _ffn_down(act, qd, sd, None)
+
+        if c == 1:
+            return one(x2)
+        return jax.lax.map(one, chunks(x2)).reshape(x2.shape[0], -1)
+
+    @jax.custom_vjp
+    def fused(x2, wg, wu, wd):
+        qg, sg = _col_quant(wg)
+        qu, su = _col_quant(wu)
+        qd, sd = _col_quant(wd)
+        return fwd_impl(x2, qg, sg, qu, su, qd, sd)
+
+    def fwd(x2, wg, wu, wd):
+        qg, sg = _col_quant(wg)
+        qu, su = _col_quant(wu)
+        qd, sd = _col_quant(wd)
+        return fwd_impl(x2, qg, sg, qu, su, qd, sd), (x2, qg, sg, qu, su, qd, sd)
+
+    def bwd(res, dy):
+        x2, qg, sg, qu, su, qd, sd = res
+        f32 = jnp.float32
+        dot_f32 = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
+
+        def qbwd(g, qw, sw):
+            """dx of a col-quantized dot: straight-through (g * s) @ q^T (see _bwd_dx)."""
+            g = g.astype(f32) * sw
+            if bwd_int8:
+                gq, sgr = _row_quant(g)
+                di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+                return (di.astype(f32) * sgr).astype(dy.dtype)
+            return jax.lax.dot_general(g.astype(dy.dtype), qw.astype(dy.dtype), (((1,), (1,)), ((), ())))
+
+        def one(carry, xd):
+            x_c, dy_c = xd
+            xq, sx = _row_quant(x_c)
+            gate, up = _ffn_gate_up(x_c, xq, sx, qg, sg, qu, su, None)
+            gel, gelu_vjp = jax.vjp(jax.nn.gelu, gate)
+            act = gel * up
+            dact = qbwd(dy_c, qd, sd)
+            dup = dact * gel
+            (dgate,) = gelu_vjp(dact * up)
+            dx_c = qbwd(dgate, qg, sg) + qbwd(dup, qu, su)
+            dwg, dwu, dwd = carry
+            carry = (
+                dwg + dot_f32(x_c, dgate, (((0,), (0,)), ((), ()))),
+                dwu + dot_f32(x_c, dup, (((0,), (0,)), ((), ()))),
+                dwd + dot_f32(act, dy_c, (((0,), (0,)), ((), ()))),
+            )
+            return carry, dx_c
+
+        acc0 = (
+            jnp.zeros((qg.shape[0], qg.shape[1]), f32),
+            jnp.zeros((qu.shape[0], qu.shape[1]), f32),
+            jnp.zeros((qd.shape[0], qd.shape[1]), f32),
+        )
+        if c == 1:
+            acc, dx = one(acc0, (x2, dy))
+        else:
+            acc, dxs = jax.lax.scan(one, acc0, (chunks(x2), chunks(dy)))
+            dx = dxs.reshape(x2.shape[0], -1)
+        dwg, dwu, dwd = (g.astype(dy.dtype) for g in acc)
+        return dx, dwg, dwu, dwd
+
+    fused.defvjp(fwd, bwd)
+    return fused
+
+
+def sb_fused_ffn(x: jax.Array, wg: jax.Array, wu: jax.Array, wd: jax.Array) -> jax.Array:
+    """Gated-GELU FFN on trainable weights as one fused row-chunked SwitchBack op.
+
+    The full-fine-tune counterpart of :func:`apply_fused_ffn`: forward + dgrad
+    int8 (per-call weight col-quant), wgrad bf16 accumulated chunk-by-chunk in
+    f32 — and none of the [rows, mlp_dim] intermediates (gate, up, gelu·up,
+    their gradients) are ever materialized in HBM across fwd/remat/bwd.
+    """
+    batch_shape = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    c = _row_chunks(x2.shape[0], max(wd.shape))
+    fused = _make_sb_fused_ffn(_bwd_int8_enabled(), c)
+    y2 = fused(x2, wg.astype(x.dtype), wu.astype(x.dtype), wd.astype(x.dtype))
+    return y2.reshape(*batch_shape, -1)
+
+
 # --------------------------------------------------------------------------------------
 # SwitchBack: dynamic int8 for *trainable* matmuls (SigLIP tower)
 # --------------------------------------------------------------------------------------

@@ -156,7 +156,7 @@ def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--remat", default="nothing", help="KAI0_REMAT policy for the probe")
     ap.add_argument("--model", choices=["full", "300m"], default="full")

@@ -37,7 +37,7 @@ def test_select_mode_full_branch(monkeypatch):
     model, mode, batch_size, fsdp, quantize = bench.select_mode("tpu", 8)
     assert os.environ.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
     assert mode == "full"
-    assert batch_size == 64 and fsdp == 8
+    assert batch_size == 128 and fsdp == 8  # 16/chip, the measured sweet spot
     assert not quantize  # full FT updates every weight: no frozen int8 base
     # Every parameter trains (non-LoRA variants → empty freeze filter).
     frozen = model.freeze_filter()

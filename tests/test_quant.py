@@ -572,6 +572,77 @@ def test_gemma_switchback_full_ft_close_to_bf16(monkeypatch):
     assert cos > 0.98, cos
 
 
+@pytest.mark.parametrize("chunk_mb", [None, 1])  # c=1 and a forced multi-chunk run
+def test_sb_fused_ffn_matches_split_switchback(monkeypatch, chunk_mb):
+    """The fused full-FT FFN (sb_fused_ffn) must reproduce the per-dot SwitchBack
+    path: same forward (same quantization math per row/column) and gradients for
+    x AND all three weights tracking the bf16 FFN (the wgrad contract)."""
+    if chunk_mb is not None:
+        monkeypatch.setenv("KAI0_INT8_CHUNK_MB", str(chunk_mb))
+    key = jax.random.key(31)
+    rows, d, f = 96, 64, 160
+    x = jax.random.normal(jax.random.fold_in(key, 0), (2, rows // 2, d), jnp.bfloat16)
+    wg = jax.random.normal(jax.random.fold_in(key, 1), (d, f), jnp.bfloat16) * 0.1
+    wu = jax.random.normal(jax.random.fold_in(key, 2), (d, f), jnp.bfloat16) * 0.1
+    wd = jax.random.normal(jax.random.fold_in(key, 3), (f, d), jnp.bfloat16) * 0.1
+
+    def split(x, wg, wu, wd):
+        gate = quant.switchback_einsum("BTD,DF->BTF", x, wg)
+        up = quant.switchback_einsum("BTD,DF->BTF", x, wu)
+        return quant.switchback_einsum("BTD,DF->BTF", jax.nn.gelu(gate) * up, wd)
+
+    def bf16(x, wg, wu, wd):
+        act = jax.nn.gelu(jnp.einsum("btd,df->btf", x, wg)) * jnp.einsum("btd,df->btf", x, wu)
+        return jnp.einsum("btf,fd->btd", act, wd)
+
+    y_fused = quant.sb_fused_ffn(x, wg, wu, wd)
+    y_split = split(x, wg, wu, wd)
+    rel = jnp.max(jnp.abs(y_fused.astype(jnp.float32) - y_split.astype(jnp.float32))) / (
+        jnp.max(jnp.abs(y_split.astype(jnp.float32))) + 1e-9
+    )
+    assert float(rel) < 2e-2, float(rel)  # same int8 grid; bf16 cast points may differ by ulps
+
+    t = jax.random.normal(jax.random.fold_in(key, 4), y_split.shape, jnp.bfloat16)
+
+    def loss(f):
+        return lambda *a: jnp.sum((f(*a).astype(jnp.float32) - t.astype(jnp.float32)) ** 2)
+
+    g_fused = jax.grad(loss(quant.sb_fused_ffn), argnums=(0, 1, 2, 3))(x, wg, wu, wd)
+    g_ref = jax.grad(loss(bf16), argnums=(0, 1, 2, 3))(x, wg, wu, wd)
+    for gf, gr in zip(g_fused, g_ref, strict=True):
+        assert gf.shape == gr.shape and gf.dtype == gr.dtype
+        a = np.asarray(gf, np.float32).ravel()
+        b = np.asarray(gr, np.float32).ravel()
+        cos = np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.99, cos
+
+
+def test_apply_ffn_routes_sb_fused(monkeypatch):
+    """With KAI0_INT8_SB_GEMMA=ffn and the fused knob (default) the non-LoRA
+    apply_ffn must take the fused op; KAI0_INT8_FFN=split must take per-dot
+    SwitchBack — both close to each other."""
+    from kai0_tpu.models import lora
+
+    key = jax.random.key(37)
+    params = {
+        "gating_einsum": jax.random.normal(key, (2, 32, 80), jnp.bfloat16) * 0.1,
+        "linear": jax.random.normal(jax.random.fold_in(key, 1), (80, 32), jnp.bfloat16) * 0.1,
+    }
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 7, 32), jnp.bfloat16)
+    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "ffn")
+    called = []
+    orig = quant.sb_fused_ffn
+    monkeypatch.setattr(quant, "sb_fused_ffn", lambda *a: (called.append(1), orig(*a))[1])
+    y_fused = lora.apply_ffn(params, x)
+    assert called, "fused path not taken"
+    monkeypatch.setenv("KAI0_INT8_FFN", "split")
+    y_split = lora.apply_ffn(params, x)
+    rel = jnp.max(jnp.abs(y_fused.astype(jnp.float32) - y_split.astype(jnp.float32))) / (
+        jnp.max(jnp.abs(y_split.astype(jnp.float32))) + 1e-9
+    )
+    assert float(rel) < 2e-2, float(rel)
+
+
 # ---------------------------------------------------------------------------
 # Fused Pallas int8 matmul (kai0_tpu/ops/pallas_quant.py), interpret mode on CPU
 # ---------------------------------------------------------------------------
