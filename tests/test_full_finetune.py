@@ -28,14 +28,23 @@ sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def test_select_mode_full_branch(monkeypatch):
     import bench
 
-    # select_mode installs the full-FT bench env defaults (KAI0_INT8_SB_GEMMA=ffn,
-    # bench.apply_fullft_bench_defaults) — numerics-changing, so it must not leak
-    # into the rest of the suite (the golden-vs-reference tests run after this
-    # file and compare exact bf16 losses). monkeypatch reverts the setdefault.
-    monkeypatch.setenv("KAI0_INT8_SB_GEMMA", "")
-    monkeypatch.delenv("KAI0_INT8_SB_GEMMA")
+    # select_mode installs the full-FT bench env defaults
+    # (bench.apply_fullft_bench_defaults) — numerics/perf-changing env that must
+    # not leak into the rest of the suite (the golden-vs-reference tests compare
+    # exact bf16 losses; test_knobs asserts a default env). monkeypatch reverts
+    # every KAI0_* the call sets — register restore ops for ALL current knobs so
+    # future additions to the default set are contained automatically.
+    from kai0_tpu import knobs as _knobs
+
+    for env_name in _knobs._ENV.values():
+        if env_name in os.environ:
+            monkeypatch.setenv(env_name, os.environ[env_name])  # registers restore
+        else:
+            monkeypatch.setenv(env_name, "x")  # register, then leave absent
+            monkeypatch.delenv(env_name)
     model, mode, batch_size, fsdp, quantize = bench.select_mode("tpu", 8)
     assert os.environ.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
+    assert os.environ.get("KAI0_SIGLIP_BLOCK_T_BWD") == "128"
     assert mode == "full"
     assert batch_size == 128 and fsdp == 8  # 16/chip, the measured sweet spot
     assert not quantize  # full FT updates every weight: no frozen int8 base
