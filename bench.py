@@ -133,12 +133,15 @@ def apply_fullft_bench_defaults() -> None:
     apply_int8_bench_defaults for LoRA).
 
     SwitchBack dynamic int8 on the trainable gemma FFN dots
-    (KAI0_INT8_SB_GEMMA=ffn): +5.4% measured (8.62 -> 9.09 samples/s/chip at
-    batch 12, PERF.md round 4), convergence-validated vs bf16 (max 0.92% rel
-    loss diff at dummy size, no drift — docs/conv_fullft_sb.json). The attn
-    sites measured neutral-negative and stay off. KAI0_INT8_SB_GEMMA=0
-    reverts to the bf16 reference-parity step. The 128-row SigLIP dense-MHA
-    backward q-block transfers from the LoRA knob set (+0.2%: 9.087 → 9.109).
+    (KAI0_INT8_SB_GEMMA=ffn), which with the fused row-chunked op
+    (quant.sb_fused_ffn, routed automatically under the default
+    KAI0_INT8_FFN=fused) measures 8.62 → 9.80 samples/s/chip at the batch-16
+    sweet spot (PERF.md round 4). Convergence-validated vs bf16 (max 0.89%
+    rel loss diff at dummy size, no drift — docs/conv_fullft_sb_fused.json;
+    split-dot curves in conv_fullft_sb.json). The attn sites measured
+    neutral-negative and stay off. KAI0_INT8_SB_GEMMA=0 reverts to the bf16
+    reference-parity step. The 128-row SigLIP dense-MHA backward q-block
+    transfers from the LoRA knob set (+0.2%).
     """
     os.environ.setdefault("KAI0_INT8_SB_GEMMA", "ffn")
     os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
@@ -158,13 +161,15 @@ def select_mode(backend: str, n_chips: int):
     if backend == "tpu" and n_chips >= 4:
         # FULL fine-tune (the reference's flagship workload: batch 256 on
         # 8×A100, reference config.py:1185-1188): every param trains, state
-        # FSDP-sharded over all chips, 16 samples/chip — the measured per-chip
+        # FSDP-sharded over all chips. 16 samples/chip is the measured per-chip
         # sweet spot under the fused SwitchBack FFN (PERF.md round 4: 9.80
-        # samples/s/chip at batch 16; v5e-8 AOT at global batch 128 peaks
-        # 13.97 GiB/device with the fused op, down from 15.69 without).
+        # samples/s/chip; v5e-8 AOT at global batch 128 peaks 13.97 GiB/device)
+        # — but only where the f32 AdamW state leaves room: at 4-7 chips the
+        # sharded state alone is ≥7.7 GiB/device, so stay at 8/chip there (the
+        # round-3 AOT-validated density).
         model = _pi0.Pi0Config(pi05=True)
         mode = "full"
-        batch_size = 16 * n_chips
+        batch_size = (16 if n_chips >= 8 else 8) * n_chips
         fsdp = n_chips
         apply_fullft_bench_defaults()
     elif backend == "tpu":

@@ -518,6 +518,20 @@ def _ffn_down(act, qd, sd, lora):
     return yf.astype(act.dtype)
 
 
+def _qbwd_col(g, qw, sw, bwd_int8: bool, out_dtype):
+    """dx of a col-quantized dot: straight-through (g * s) @ q^T (see _bwd_dx).
+
+    Shared by the fused-FFN backward passes (frozen-base ``_make_fused_ffn``
+    and trainable ``_make_sb_fused_ffn``) so their dgrad numerics cannot drift.
+    """
+    g = g.astype(jnp.float32) * sw
+    if bwd_int8:
+        gq, sgr = _row_quant(g)
+        di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
+        return (di.astype(jnp.float32) * sgr).astype(out_dtype)
+    return jax.lax.dot_general(g.astype(out_dtype), qw.astype(out_dtype), (((1,), (1,)), ((), ())))
+
+
 @functools.lru_cache(maxsize=None)
 def _make_fused_ffn(has_lora: bool, bwd_int8: bool, c: int):
     """Build the fused FFN with a custom VJP for a given chunk count ``c``.
@@ -557,13 +571,7 @@ def _make_fused_ffn(has_lora: bool, bwd_int8: bool, c: int):
         f32 = jnp.float32
 
         def qbwd(g, qw, sw):
-            """dx of a quantized dot: straight-through (dy * s) @ q^T (see _bwd_dx)."""
-            g = g.astype(f32) * sw
-            if bwd_int8:
-                gq, sgr = _row_quant(g)
-                di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-                return (di.astype(f32) * sgr).astype(dy.dtype)
-            return jax.lax.dot_general(g.astype(dy.dtype), qw.astype(dy.dtype), (((1,), (1,)), ((), ())))
+            return _qbwd_col(g, qw, sw, bwd_int8, dy.dtype)
 
         def one(carry, xd):
             x_c, dy_c = xd
@@ -684,13 +692,7 @@ def _make_sb_fused_ffn(bwd_int8: bool, c: int):
         dot_f32 = functools.partial(jax.lax.dot_general, preferred_element_type=f32)
 
         def qbwd(g, qw, sw):
-            """dx of a col-quantized dot: straight-through (g * s) @ q^T (see _bwd_dx)."""
-            g = g.astype(f32) * sw
-            if bwd_int8:
-                gq, sgr = _row_quant(g)
-                di = jax.lax.dot_general(gq, qw, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32)
-                return (di.astype(f32) * sgr).astype(dy.dtype)
-            return jax.lax.dot_general(g.astype(dy.dtype), qw.astype(dy.dtype), (((1,), (1,)), ((), ())))
+            return _qbwd_col(g, qw, sw, bwd_int8, dy.dtype)
 
         def one(carry, xd):
             x_c, dy_c = xd

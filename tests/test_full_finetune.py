@@ -36,12 +36,11 @@ def test_select_mode_full_branch(monkeypatch):
     # future additions to the default set are contained automatically.
     from kai0_tpu import knobs as _knobs
 
+    # Clear every knob var first (registering restores): the test asserts the
+    # DEFAULT-install behavior, which ambient KAI0_* A/B settings (a documented
+    # developer workflow) would turn into setdefault no-ops.
     for env_name in _knobs._ENV.values():
-        if env_name in os.environ:
-            monkeypatch.setenv(env_name, os.environ[env_name])  # registers restore
-        else:
-            monkeypatch.setenv(env_name, "x")  # register, then leave absent
-            monkeypatch.delenv(env_name)
+        monkeypatch.delenv(env_name, raising=False)
     model, mode, batch_size, fsdp, quantize = bench.select_mode("tpu", 8)
     assert os.environ.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
     assert os.environ.get("KAI0_SIGLIP_BLOCK_T_BWD") == "128"

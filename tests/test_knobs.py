@@ -65,6 +65,11 @@ def test_create_trained_policy_installs_config_knobs(monkeypatch, tmp_path):
 
 
 def test_as_dict_reports_non_defaults_only(monkeypatch):
+    # Ambient KAI0_* A/B settings (a documented developer workflow) must not
+    # fail the default-state assertion — clear every registered knob var.
+    for env_name in knobs._ENV.values():
+        monkeypatch.delenv(env_name, raising=False)
+    monkeypatch.setattr(knobs, "_configured", None)  # restored on teardown
     assert knobs.as_dict() == {}
     monkeypatch.setenv("KAI0_REMAT", "attn")
     assert knobs.as_dict() == {"remat": "attn"}
