@@ -425,6 +425,27 @@ class SGD:
         )
 
 
+@dataclass(frozen=True)
+class ClipSGD:
+    """Stateless update: f32 global-norm clip + lr scale — NO param-shaped state.
+
+    ``optax.trace`` (plain SGD above) allocates a full momentum tree even at
+    decay 0; this transform is what keeps the full-size single-chip full-FT
+    step inside HBM (scripts/bench_full_finetune.py) and gives the on-chip
+    convergence A/B an optimizer both precision arms can afford
+    (scripts/check_convergence_onchip.py --full-ft).
+    """
+
+    clip_gradient_norm: float = 1.0
+
+    def create(self, lr, weight_decay_mask=None) -> optax.GradientTransformation:
+        del weight_decay_mask
+        return optax.chain(
+            _clip_by_global_norm_f32(self.clip_gradient_norm),
+            optax.scale_by_learning_rate(lr),
+        )
+
+
 def create_optimizer(
     optimizer: OptimizerConfig, lr_schedule: LRScheduleConfig, weight_decay_mask=None
 ) -> optax.GradientTransformation:

@@ -55,28 +55,6 @@ V5E_BF16_PEAK_FLOPS = 197e12
 ANALYTIC_MODEL_FLOPS_PER_SAMPLE = {"full": 13.8e12, "300m": 4.3e12}
 
 
-@dataclasses.dataclass(frozen=True)
-class ClippedSGD:
-    """Stateless update: f32 global-norm clip + lr scale (no param-shaped state).
-
-    ``optax.trace`` would allocate a full momentum tree even at decay 0, so this
-    plain transform is what keeps the full-size single-chip step inside HBM.
-    """
-
-    clip_gradient_norm: float = 1.0
-
-    def create(self, lr, weight_decay_mask=None):
-        import optax
-
-        from kai0_tpu.training import optimizer as _optimizer
-
-        del weight_decay_mask
-        return optax.chain(
-            _optimizer._clip_by_global_norm_f32(self.clip_gradient_norm),
-            optax.scale_by_learning_rate(lr),
-        )
-
-
 def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
     import jax
 
@@ -84,6 +62,7 @@ def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
     from kai0_tpu.models import pi0 as _pi0
     from kai0_tpu.parallel import sharding
     from kai0_tpu.training import config as _config
+    from kai0_tpu.training import optimizer as _optimizer
 
     if model_size == "full":
         model = _pi0.Pi0Config(pi05=True)  # full-size π₀.₅, every parameter trains
@@ -96,7 +75,7 @@ def run(batch_size: int, n_steps: int, model_size: str, optimizer: str) -> dict:
 
     if optimizer == "sgd":
         orig = _config.get_config("debug")
-        patched = dataclasses.replace(orig, optimizer=ClippedSGD())
+        patched = dataclasses.replace(orig, optimizer=_optimizer.ClipSGD())
         _config.registry()["debug"] = patched
     try:
         step, multi_step, state, batch, rng = bench.build(

@@ -73,6 +73,10 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=12)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--label", default="run")
+    p.add_argument("--full-ft", action="store_true",
+                   help="full-size FULL fine-tune arms (every param trains, bf16-SR "
+                        "params, stateless ClipSGD both arms): A/B the fused "
+                        "SwitchBack FFN (bench full-FT defaults) vs KAI0_INT8_SB_GEMMA=0")
     p.add_argument("--compare", nargs=2, metavar=("A.json", "B.json"))
     args = p.parse_args()
     if args.compare:
@@ -85,28 +89,48 @@ def main() -> int:
     from kai0_tpu.training import config as _config
     from kai0_tpu.training import train_lib
 
-    quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
-    if quantize:
-        # Shared with bench.select_mode: the A/B must run the SHIPPED defaults.
-        bench.apply_int8_bench_defaults()
-    model = _pi0.Pi0Config(
-        pi05=True, paligemma_variant="gemma_2b_lora", action_expert_variant="gemma_300m_lora"
-    )
-    mesh = sharding.make_mesh(1)
-    train_config = dataclasses.replace(
-        _config.get_config("debug"),
-        model=model,
-        batch_size=args.batch,
-        exp_name="convergence_onchip",
-        ema_decay=None,
-        quantize_frozen=quantize,
-    )
-    opt_state = os.environ.get("KAI0_BENCH_OPT_STATE", "bfloat16" if quantize else "float32")
-    if opt_state and opt_state != "float32":
+    if args.full_ft:
+        # Full fine-tune arms: KAI0_INT8_SB_GEMMA=0 in the env selects the bf16
+        # parity arm; otherwise the shipped fused-SwitchBack defaults apply.
+        from kai0_tpu.training import optimizer as _optimizer
+
+        quantize = False
+        opt_state = "none (ClipSGD)"
+        bench.apply_fullft_bench_defaults()
+        model = _pi0.Pi0Config(pi05=True)
+        mesh = sharding.make_mesh(1)
         train_config = dataclasses.replace(
-            train_config,
-            optimizer=dataclasses.replace(train_config.optimizer, state_dtype=opt_state),
+            _config.get_config("debug"),
+            model=model,
+            batch_size=args.batch,
+            exp_name="convergence_onchip",
+            ema_decay=None,
+            param_dtype="bfloat16",
+            optimizer=_optimizer.ClipSGD(),
         )
+    else:
+        quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
+        if quantize:
+            # Shared with bench.select_mode: the A/B must run the SHIPPED defaults.
+            bench.apply_int8_bench_defaults()
+        model = _pi0.Pi0Config(
+            pi05=True, paligemma_variant="gemma_2b_lora", action_expert_variant="gemma_300m_lora"
+        )
+        mesh = sharding.make_mesh(1)
+        train_config = dataclasses.replace(
+            _config.get_config("debug"),
+            model=model,
+            batch_size=args.batch,
+            exp_name="convergence_onchip",
+            ema_decay=None,
+            quantize_frozen=quantize,
+        )
+        opt_state = os.environ.get("KAI0_BENCH_OPT_STATE", "bfloat16" if quantize else "float32")
+        if opt_state and opt_state != "float32":
+            train_config = dataclasses.replace(
+                train_config,
+                optimizer=dataclasses.replace(train_config.optimizer, state_dtype=opt_state),
+            )
     knob_map = train_config.apply_model_knobs()
 
     rng = jax.random.key(args.seed)
