@@ -113,7 +113,7 @@ def build(config, mesh, batch_size: int, *, quantize_frozen: bool = False, param
     return step, pmulti, state, batch, rng
 
 
-def apply_int8_bench_defaults() -> None:
+def int8_bench_defaults() -> dict[str, str]:
     """The measured-best int8 knob set — THE single definition of the shipped
     bench defaults, shared with scripts/check_convergence_onchip.py so the
     convergence-validated configuration cannot drift from the benched one.
@@ -123,14 +123,16 @@ def apply_int8_bench_defaults() -> None:
     128-row q-block in the SigLIP dense-MHA backward (256 measured equal
     within noise; 128 is the convergence-validated, documented value).
     """
-    os.environ.setdefault("KAI0_REMAT", "attn")
-    os.environ.setdefault("KAI0_INT8_CHUNK_MB", "900")
-    os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
+    return {
+        "KAI0_REMAT": "attn",
+        "KAI0_INT8_CHUNK_MB": "900",
+        "KAI0_SIGLIP_BLOCK_T_BWD": "128",
+    }
 
 
-def apply_fullft_bench_defaults() -> None:
+def fullft_bench_defaults() -> dict[str, str]:
     """Measured-best full-fine-tune knob set (single definition, like
-    apply_int8_bench_defaults for LoRA).
+    int8_bench_defaults for LoRA).
 
     SwitchBack dynamic int8 on the trainable gemma FFN dots
     (KAI0_INT8_SB_GEMMA=ffn), which with the fused row-chunked op
@@ -143,21 +145,42 @@ def apply_fullft_bench_defaults() -> None:
     reference-parity step. The 128-row SigLIP dense-MHA backward q-block
     transfers from the LoRA knob set (+0.2%).
     """
-    os.environ.setdefault("KAI0_INT8_SB_GEMMA", "ffn")
-    os.environ.setdefault("KAI0_SIGLIP_BLOCK_T_BWD", "128")
+    return {"KAI0_INT8_SB_GEMMA": "ffn", "KAI0_SIGLIP_BLOCK_T_BWD": "128"}
+
+
+def apply_env_defaults(env: dict[str, str]) -> None:
+    """Install bench defaults into the process env (setdefault: ambient KAI0_*
+    A/B settings win). NUMERICS-CHANGING — entry points only, never from
+    library code or a selector a test might call (the round-4 select_mode leak
+    broke golden-vs-reference by 3e-2 until monkeypatch-contained)."""
+    for name, value in env.items():
+        os.environ.setdefault(name, value)
+
+
+def apply_int8_bench_defaults() -> None:
+    apply_env_defaults(int8_bench_defaults())
+
+
+def apply_fullft_bench_defaults() -> None:
+    apply_env_defaults(fullft_bench_defaults())
 
 
 def select_mode(backend: str, n_chips: int):
-    """Pick the benched configuration: (model, mode, batch_size, fsdp, quantize).
+    """Pick the benched configuration:
+    ``(model, mode, batch_size, fsdp, quantize, env_defaults)``.
 
-    Factored out of main() so the multi-chip "full" branch is testable without
-    4 TPU chips (tests/test_full_finetune.py compile-checks it on the virtual
-    CPU mesh; scripts/aot_full_finetune.py AOT-compiles the full-size program
-    for a real v5e-8 topology and budgets its HBM).
+    PURE — no env mutation (ADVICE round 4): the knob defaults of the selected
+    mode come back as the ``env_defaults`` dict and only ``main()`` installs
+    them (``apply_env_defaults``). Factored out of main() so the multi-chip
+    "full" branch is testable without 4 TPU chips (tests/test_full_finetune.py
+    compile-checks it on the virtual CPU mesh; scripts/aot_full_finetune.py
+    AOT-compiles the full-size program for a real v5e-8 topology and budgets
+    its HBM).
     """
     from kai0_tpu.models import pi0 as _pi0
 
     quantize = False
+    env_defaults: dict[str, str] = {}
     if backend == "tpu" and n_chips >= 4:
         # FULL fine-tune (the reference's flagship workload: batch 256 on
         # 8×A100, reference config.py:1185-1188): every param trains, state
@@ -171,7 +194,7 @@ def select_mode(backend: str, n_chips: int):
         mode = "full"
         batch_size = (16 if n_chips >= 8 else 8) * n_chips
         fsdp = n_chips
-        apply_fullft_bench_defaults()
+        env_defaults = fullft_bench_defaults()
     elif backend == "tpu":
         import os
 
@@ -202,7 +225,7 @@ def select_mode(backend: str, n_chips: int):
         # reproducible (9.81 -> 9.87). bf16 at batch 12 OOMs by ~240 MB with it,
         # so the default only upgrades the int8 configuration.
         if quantize:
-            apply_int8_bench_defaults()
+            env_defaults = int8_bench_defaults()
     else:  # CPU smoke mode so the bench is runnable anywhere
         model = _pi0.Pi0Config(
             pi05=True,
@@ -214,7 +237,7 @@ def select_mode(backend: str, n_chips: int):
         mode = "smoke"
         batch_size = 2
         fsdp = 1
-    return model, mode, batch_size, fsdp, quantize
+    return model, mode, batch_size, fsdp, quantize, env_defaults
 
 
 def main():
@@ -222,7 +245,8 @@ def main():
 
     backend = jax.default_backend()
     n_chips = jax.device_count()
-    model, mode, batch_size, fsdp, quantize = select_mode(backend, n_chips)
+    model, mode, batch_size, fsdp, quantize, env_defaults = select_mode(backend, n_chips)
+    apply_env_defaults(env_defaults)
 
     mesh = sharding.make_mesh(fsdp)
     print(f"bench: backend={backend} chips={n_chips} mode={mode} batch={batch_size}", file=sys.stderr)

@@ -36,8 +36,9 @@ def _shard_map_batch(fn, *arrs, head_axes: tuple[int | None, ...] | None = None)
     forward; the output inherits the first operand's specs. Gradients of
     tp-replicated operands (MQA's KV with q-heads sharded) ARE correct:
     shard_map's transpose psums cotangents over unmentioned mesh axes even
-    with check_vma=False — verified empirically (custom-vjp matmul on a 4-way
-    mesh, replicated-operand grad matches the unsharded one to float noise). Falls back to replicated specs
+    with check_vma=False — pinned by
+    tests/test_attention_shardmap.py::test_tp_replicated_operand_grad_is_psummed
+    (custom-vjp kernel stand-in on a tp=4 mesh). Falls back to replicated specs
     along either axis when sizes don't divide the mesh (e.g. batch-1 multi-chip
     serving).
     """

@@ -74,6 +74,47 @@ def test_broadcast_mask_operands_are_replicated_not_sharded():
     np.testing.assert_allclose(np.asarray(out2), np.asarray(q), rtol=1e-6)
 
 
+def test_tp_replicated_operand_grad_is_psummed():
+    """The MQA-under-tp gradient contract (ops/attention.py:_shard_map_batch
+    docstring): q's head dim shards over ``tp`` while the single KV head stays
+    replicated (1 % tp != 0), so the KV cotangent — computed per tp shard from
+    that shard's q heads only — must be psummed over ``tp`` by shard_map's
+    transpose even with check_vma=False. A missing psum would silently
+    mis-scale KV gradients by 1/tp on tp>1 meshes; this pins the behavior on
+    the virtual CPU mesh with a custom-vjp stand-in shaped like the kernel
+    (ADVICE round 4)."""
+
+    @jax.custom_vjp
+    def f(q, k):
+        return q * k  # k broadcasts over q's head dim (axis 1)
+
+    def fwd(q, k):
+        return f(q, k), (q, k)
+
+    def bwd(res, g):
+        q, k = res
+        # dk sums over the LOCAL head shard — the cross-shard sum is shard_map's
+        # transpose psum, which is exactly what this test pins.
+        return g * k, (g * q).sum(axis=1, keepdims=True)
+
+    f.defvjp(fwd, bwd)
+
+    # (batch=2, fsdp=1, tp=4): q [B=8, N=4, H=2] shards batch over the data axes
+    # and heads over tp; k [B=8, 1, H=2] has a size-1 head dim → tp-replicated.
+    mesh = sharding.make_mesh(1, num_tp_devices=4, devices=jax.devices()[:8])
+    q = jax.random.normal(jax.random.key(0), (8, 4, 2))
+    k = jax.random.normal(jax.random.key(1), (8, 1, 2))
+
+    def loss(q, k):
+        return jnp.sum(attention._shard_map_batch(f, q, k, head_axes=(1, 1)) ** 2)
+
+    with sharding.set_mesh(mesh):
+        gq, gk = jax.jit(jax.grad(loss, argnums=(0, 1)))(q, k)
+    gq_ref, gk_ref = jax.grad(lambda q, k: jnp.sum((q * k) ** 2), argnums=(0, 1))(q, k)
+    np.testing.assert_allclose(np.asarray(gq), np.asarray(gq_ref), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_ref), rtol=1e-5)
+
+
 def test_gradients_flow_through_shard_map():
     mesh = sharding.make_mesh(4, devices=jax.devices()[:8])
     q = jax.random.normal(jax.random.key(0), (8, 3, 2))

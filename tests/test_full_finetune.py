@@ -25,25 +25,19 @@ import numpy as np
 sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 
 
-def test_select_mode_full_branch(monkeypatch):
+def test_select_mode_full_branch():
     import bench
 
-    # select_mode installs the full-FT bench env defaults
-    # (bench.apply_fullft_bench_defaults) — numerics/perf-changing env that must
-    # not leak into the rest of the suite (the golden-vs-reference tests compare
-    # exact bf16 losses; test_knobs asserts a default env). monkeypatch reverts
-    # every KAI0_* the call sets — register restore ops for ALL current knobs so
-    # future additions to the default set are contained automatically.
-    from kai0_tpu import knobs as _knobs
-
-    # Clear every knob var first (registering restores): the test asserts the
-    # DEFAULT-install behavior, which ambient KAI0_* A/B settings (a documented
-    # developer workflow) would turn into setdefault no-ops.
-    for env_name in _knobs._ENV.values():
-        monkeypatch.delenv(env_name, raising=False)
-    model, mode, batch_size, fsdp, quantize = bench.select_mode("tpu", 8)
-    assert os.environ.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
-    assert os.environ.get("KAI0_SIGLIP_BLOCK_T_BWD") == "128"
+    # select_mode is PURE (ADVICE round 4): the mode's numerics-changing knob
+    # defaults come back as a dict for the bench entrypoint to install — an env
+    # mutation here once leaked KAI0_INT8_SB_GEMMA=ffn into the whole pytest
+    # process and broke golden-vs-reference by 3e-2.
+    env_before = dict(os.environ)
+    model, mode, batch_size, fsdp, quantize, env_defaults = bench.select_mode("tpu", 8)
+    assert dict(os.environ) == env_before  # no mutation
+    assert env_defaults == bench.fullft_bench_defaults()
+    assert env_defaults.get("KAI0_INT8_SB_GEMMA") == "ffn"  # the full-FT default
+    assert env_defaults.get("KAI0_SIGLIP_BLOCK_T_BWD") == "128"
     assert mode == "full"
     assert batch_size == 128 and fsdp == 8  # 16/chip, the measured sweet spot
     assert not quantize  # full FT updates every weight: no frozen int8 base
