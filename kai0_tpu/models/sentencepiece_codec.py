@@ -1,0 +1,342 @@
+"""Pure-Python SentencePiece unigram codec.
+
+The reference tokenizes prompts with the PaliGemma sentencepiece model through
+the ``sentencepiece`` wheel (reference ``src/openpi/models/tokenizer.py:18-29``).
+That wheel is a C++ extension that is not always installable (and is absent in
+this build environment), but the ``.model`` file itself is just a protobuf
+(``sentencepiece_model.proto``: unigram pieces + scores + normalizer flags) —
+so this module reads the raw file and implements the unigram encode/decode
+directly:
+
+- a minimal protobuf wire-format reader for ``ModelProto`` (no generated code,
+  no protobuf runtime): pieces ``(text, score, type)``, trainer ids
+  (unk/bos/eos/pad), byte-fallback flag, normalizer flags;
+- SentencePiece normalization (identity charsmap): optional extra-whitespace
+  collapse, optional dummy-" " prefix, whitespace → ``▁`` (U+2581) escaping;
+- unigram **Viterbi** segmentation: maximize the sum of piece log-probs over
+  all segmentations, matching only NORMAL/USER_DEFINED pieces, with the
+  standard unknown-character penalty (``min_score - 10``) and UTF-8
+  byte-fallback expansion of unknown segments;
+- piece decode: byte-piece runs → UTF-8, control pieces skipped, ``▁`` →
+  space, dummy prefix stripped.
+
+Scope: unigram models with an identity/empty precompiled charsmap — which the
+PaliGemma/Gemma tokenizer is. Models that need an NFKC charsmap or BPE merges
+raise with a clear message (install the wheel for those).
+
+Validated two ways: tests/test_sentencepiece_codec.py builds synthetic
+``.model`` files and pins segmentation/normalization/byte-fallback behavior,
+and cross-checks ids against the real ``sentencepiece`` wheel whenever that is
+importable (asset-equipped hosts; see scripts/validate_tokenizer.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# SentencePiece piece types (sentencepiece_model.proto: SentencePiece.Type).
+NORMAL = 1
+UNKNOWN = 2
+CONTROL = 3
+USER_DEFINED = 4
+UNUSED = 5
+BYTE = 6
+
+_WS = "▁"  # ▁, SentencePiece's escaped whitespace
+_UNK_PENALTY = 10.0  # unigram_model.cc kUnkPenalty
+
+
+# --------------------------------------------------------------------------------------
+# Protobuf wire-format reader (just enough for ModelProto)
+# --------------------------------------------------------------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("varint too long (corrupt .model file)")
+
+
+def _iter_fields(buf: bytes, pos: int = 0, end: int | None = None):
+    """Yield ``(field_number, wire_type, value)`` over a message's wire bytes.
+
+    Wire 0 → int, wire 1/5 → raw 8/4 bytes, wire 2 → raw bytes (submessage or
+    string). Unknown field numbers are skipped by callers, which is what makes
+    this reader robust to proto additions.
+    """
+    end = len(buf) if end is None else end
+    while pos < end:
+        tag, pos = _read_varint(buf, pos)
+        field, wire = tag >> 3, tag & 7
+        if wire == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wire == 1:
+            val, pos = buf[pos : pos + 8], pos + 8
+        elif wire == 2:
+            ln, pos = _read_varint(buf, pos)
+            val, pos = buf[pos : pos + ln], pos + ln
+        elif wire == 5:
+            val, pos = buf[pos : pos + 4], pos + 4
+        else:
+            raise ValueError(f"unsupported wire type {wire} (corrupt .model file)")
+        yield field, wire, val
+
+
+def _f32(raw: bytes) -> float:
+    import struct
+
+    return struct.unpack("<f", raw)[0]
+
+
+@dataclasses.dataclass
+class SpModel:
+    """The slice of ``ModelProto`` the codec needs."""
+
+    pieces: list[tuple[str, float, int]]  # (text, score, type)
+    model_type: int = 1  # 1 = UNIGRAM, 2 = BPE
+    unk_id: int = 0
+    bos_id: int = 1
+    eos_id: int = 2
+    pad_id: int = -1
+    byte_fallback: bool = False
+    unk_surface: str = " ⁇ "  # " ⁇ ", trainer_spec default
+    add_dummy_prefix: bool = True
+    remove_extra_whitespaces: bool = True
+    escape_whitespaces: bool = True
+    has_charsmap: bool = False
+    normalizer_name: str = ""
+
+
+def parse_model(data: bytes) -> SpModel:
+    """Parse a raw ``.model`` file (ModelProto wire bytes)."""
+    pieces: list[tuple[str, float, int]] = []
+    m = SpModel(pieces=pieces)
+    for field, wire, val in _iter_fields(data):
+        if field == 1 and wire == 2:  # repeated SentencePiece pieces
+            text, score, ptype = "", 0.0, NORMAL
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    text = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 5:
+                    score = _f32(v2)
+                elif f2 == 3 and w2 == 0:
+                    ptype = v2
+            pieces.append((text, score, ptype))
+        elif field == 2 and wire == 2:  # TrainerSpec
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 3 and w2 == 0:
+                    m.model_type = v2
+                elif f2 == 35 and w2 == 0:
+                    m.byte_fallback = bool(v2)
+                elif f2 == 40 and w2 == 0:
+                    m.unk_id = _signed(v2)
+                elif f2 == 41 and w2 == 0:
+                    m.bos_id = _signed(v2)
+                elif f2 == 42 and w2 == 0:
+                    m.eos_id = _signed(v2)
+                elif f2 == 43 and w2 == 0:
+                    m.pad_id = _signed(v2)
+                elif f2 == 44 and w2 == 2:
+                    m.unk_surface = v2.decode("utf-8")
+        elif field == 3 and wire == 2:  # NormalizerSpec
+            for f2, w2, v2 in _iter_fields(val):
+                if f2 == 1 and w2 == 2:
+                    m.normalizer_name = v2.decode("utf-8")
+                elif f2 == 2 and w2 == 2:
+                    m.has_charsmap = len(v2) > 0
+                elif f2 == 3 and w2 == 0:
+                    m.add_dummy_prefix = bool(v2)
+                elif f2 == 4 and w2 == 0:
+                    m.remove_extra_whitespaces = bool(v2)
+                elif f2 == 5 and w2 == 0:
+                    m.escape_whitespaces = bool(v2)
+    return m
+
+
+def _signed(v: int) -> int:
+    """proto int32 negatives arrive as 64-bit two's-complement varints."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --------------------------------------------------------------------------------------
+# Unigram codec
+# --------------------------------------------------------------------------------------
+
+
+class UnigramSentencePiece:
+    """SentencePieceProcessor-shaped pure-Python unigram encoder/decoder.
+
+    API mirrors the wheel's surface used by ``tokenizer.SentencePieceCodec``:
+    ``encode(text) -> list[int]``, ``decode(ids) -> str``, ``vocab_size()``,
+    ``bos_id()``, ``eos_id()``, plus ``piece_to_id``/``id_to_piece``.
+    """
+
+    def __init__(self, data: bytes):
+        m = parse_model(data)
+        if not m.pieces:
+            raise ValueError("no pieces in .model file (not a sentencepiece model?)")
+        if m.model_type != 1:
+            raise NotImplementedError(
+                f"pure-Python codec supports unigram models only (model_type={m.model_type}); "
+                "install the `sentencepiece` wheel for BPE/word/char models"
+            )
+        if m.has_charsmap:
+            raise NotImplementedError(
+                "this .model carries a precompiled normalization charsmap (e.g. NFKC); "
+                "the pure-Python codec only implements identity normalization — "
+                "install the `sentencepiece` wheel for this model"
+            )
+        self._m = m
+        # Matchable surface vocabulary: NORMAL + USER_DEFINED pieces.
+        self._vocab: dict[str, tuple[int, float]] = {}
+        self._byte_id: dict[int, int] = {}
+        max_len = 1
+        min_score = 0.0
+        for i, (text, score, ptype) in enumerate(m.pieces):
+            if ptype in (NORMAL, USER_DEFINED):
+                self._vocab[text] = (i, score)
+                max_len = max(max_len, len(text))
+                min_score = min(min_score, score)
+            elif ptype == BYTE:
+                # "<0xNN>" → byte value NN
+                self._byte_id[int(text[1:-1], 16)] = i
+        self._max_piece_len = max_len
+        self._unk_score = min_score - _UNK_PENALTY
+        if m.byte_fallback and len(self._byte_id) < 256:
+            raise ValueError("byte_fallback model without a full set of 256 byte pieces")
+
+    # -- SentencePieceProcessor surface ------------------------------------------------
+
+    def vocab_size(self) -> int:
+        return len(self._m.pieces)
+
+    def bos_id(self) -> int:
+        return self._m.bos_id
+
+    def eos_id(self) -> int:
+        return self._m.eos_id
+
+    def unk_id(self) -> int:
+        return self._m.unk_id
+
+    def pad_id(self) -> int:
+        return self._m.pad_id
+
+    def id_to_piece(self, i: int) -> str:
+        return self._m.pieces[i][0]
+
+    def piece_to_id(self, piece: str) -> int:
+        entry = self._vocab.get(piece)
+        if entry is not None:
+            return entry[0]
+        for i, (text, _, _) in enumerate(self._m.pieces):
+            if text == piece:
+                return i
+        return self._m.unk_id
+
+    # -- normalization -----------------------------------------------------------------
+
+    def _normalize(self, text: str) -> str:
+        m = self._m
+        if m.remove_extra_whitespaces:
+            # leading/trailing ' ' stripped, internal runs collapsed (only the
+            # ASCII space takes part — matches the SP normalizer).
+            text = " ".join(p for p in text.split(" ") if p)
+        if not text:
+            return ""
+        if m.add_dummy_prefix:
+            text = " " + text
+        if m.escape_whitespaces:
+            text = text.replace(" ", _WS)
+        return text
+
+    # -- encode ------------------------------------------------------------------------
+
+    def encode(self, text: str, out_type=int) -> list[int]:
+        del out_type  # ids only (the wheel's default)
+        s = self._normalize(text)
+        n = len(s)
+        if n == 0:
+            return []
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        best[0] = 0.0
+        back: list[tuple[int, int] | None] = [None] * (n + 1)
+        vocab = self._vocab
+        max_len = self._max_piece_len
+        for i in range(n):
+            base = best[i]
+            if base == NEG:
+                continue
+            covered_single = False
+            for j in range(i + 1, min(n, i + max_len) + 1):
+                entry = vocab.get(s[i:j])
+                if entry is None:
+                    continue
+                if j == i + 1:
+                    covered_single = True
+                pid, score = entry
+                cand = base + score
+                if cand > best[j]:
+                    best[j] = cand
+                    back[j] = (i, pid)
+            if not covered_single:
+                # Unknown character: unigram's per-char unk node with the
+                # min_score-10 penalty (expanded to bytes at emission below).
+                cand = base + self._unk_score
+                if cand > best[i + 1]:
+                    best[i + 1] = cand
+                    back[i + 1] = (i, self._m.unk_id)
+        ids: list[int] = []
+        j = n
+        unk = self._m.unk_id
+        while j > 0:
+            i, pid = back[j]  # type: ignore[misc] — every position is reachable via unk
+            if pid == unk and self._m.byte_fallback:
+                for b in reversed(s[i:j].encode("utf-8")):
+                    ids.append(self._byte_id[b])
+            else:
+                ids.append(pid)
+            j = i
+        ids.reverse()
+        return ids
+
+    # -- decode ------------------------------------------------------------------------
+
+    def decode(self, ids: list[int]) -> str:
+        pieces = self._m.pieces
+        parts: list[str] = []
+        byte_buf = bytearray()
+
+        def flush():
+            if byte_buf:
+                parts.append(byte_buf.decode("utf-8", errors="replace"))
+                byte_buf.clear()
+
+        for i in ids:
+            if not 0 <= int(i) < len(pieces):
+                continue
+            text, _, ptype = pieces[int(i)]
+            if ptype == BYTE:
+                byte_buf.append(int(text[1:-1], 16))
+                continue
+            flush()
+            if ptype in (CONTROL, UNUSED):
+                continue  # bos/eos/pad render as nothing
+            if ptype == UNKNOWN:
+                parts.append(self._m.unk_surface)
+                continue
+            parts.append(text)
+        flush()
+        out = "".join(parts).replace(_WS, " ")
+        if self._m.add_dummy_prefix and out.startswith(" "):
+            out = out[1:]
+        return out

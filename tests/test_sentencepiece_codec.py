@@ -1,0 +1,269 @@
+"""Pure-Python SentencePiece unigram codec (kai0_tpu/models/sentencepiece_codec.py).
+
+Builds tiny-but-valid ``.model`` protobufs in-test (a hand-rolled wire-format
+writer — the inverse of the module's reader) and pins: proto parsing, unigram
+Viterbi segmentation (score-driven), SP normalization (dummy prefix, whitespace
+escaping/collapsing), byte fallback, decode inversion, and the
+``tokenizer.SentencePieceCodec`` integration. When the real ``sentencepiece``
+wheel is importable (asset-equipped hosts), every synthetic model is ALSO
+cross-checked id-for-id against the wheel.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from kai0_tpu.models import sentencepiece_codec as spc
+from kai0_tpu.models import tokenizer as tok
+
+
+# --------------------------------------------------------------------------------------
+# Minimal protobuf writer (inverse of the module's reader)
+# --------------------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint(field << 3 | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _int_field(field: int, value: int) -> bytes:
+    if value < 0:
+        value += 1 << 64  # proto int32 negatives are 64-bit two's-complement varints
+    return _tag(field, 0) + _varint(value)
+
+
+def _piece(text: str, score: float, ptype: int | None = None) -> bytes:
+    sub = _len_field(1, text.encode()) + _tag(2, 5) + struct.pack("<f", score)
+    if ptype is not None:
+        sub += _int_field(3, ptype)
+    return _len_field(1, sub)
+
+
+def build_model(
+    pieces,
+    *,
+    model_type: int = 1,
+    unk_id: int = 0,
+    bos_id: int = 1,
+    eos_id: int = 2,
+    pad_id: int = -1,
+    byte_fallback: bool = False,
+    add_dummy_prefix: bool = True,
+    remove_extra_whitespaces: bool = True,
+    escape_whitespaces: bool = True,
+    charsmap: bytes = b"",
+) -> bytes:
+    """Serialize a ModelProto: ``pieces`` is [(text, score, type|None), ...]."""
+    buf = b"".join(_piece(*p) for p in pieces)
+    trainer = (
+        _int_field(3, model_type)
+        + _int_field(4, len(pieces))  # vocab_size
+        + _int_field(35, int(byte_fallback))
+        + _int_field(40, unk_id)
+        + _int_field(41, bos_id)
+        + _int_field(42, eos_id)
+        + _int_field(43, pad_id)
+    )
+    normalizer = (
+        _len_field(1, b"identity")
+        + _len_field(2, charsmap)
+        + _int_field(3, int(add_dummy_prefix))
+        + _int_field(4, int(remove_extra_whitespaces))
+        + _int_field(5, int(escape_whitespaces))
+    )
+    return buf + _len_field(2, trainer) + _len_field(3, normalizer)
+
+
+_BASE_PIECES = [
+    ("<unk>", 0.0, spc.UNKNOWN),
+    ("<s>", 0.0, spc.CONTROL),
+    ("</s>", 0.0, spc.CONTROL),
+    ("▁hello", -1.0, None),  # None → NORMAL (proto default, field omitted)
+    ("▁world", -1.5, None),
+    ("hello", -2.0, None),
+    ("world", -2.5, None),
+    ("▁", -3.0, None),
+    ("he", -4.0, None),
+    ("llo", -4.5, None),
+    ("wor", -4.5, None),
+    ("ld", -4.0, None),
+    ("h", -8.0, None),
+    ("e", -8.0, None),
+    ("l", -8.0, None),
+    ("o", -8.0, None),
+    ("w", -8.0, None),
+    ("r", -8.0, None),
+    ("d", -8.0, None),
+    ("a", -8.0, None),
+    ("b", -8.0, None),
+    ("\n", -7.0, None),
+]
+
+
+def _codec(pieces=None, **kw) -> spc.UnigramSentencePiece:
+    return spc.UnigramSentencePiece(build_model(pieces or _BASE_PIECES, **kw))
+
+
+def _ids(c, text):
+    return list(c.encode(text))
+
+
+def _maybe_wheel(model_bytes: bytes):
+    sp = pytest.importorskip("sentencepiece")
+    return sp.SentencePieceProcessor(model_proto=model_bytes)
+
+
+def test_parse_model_fields():
+    m = spc.parse_model(build_model(_BASE_PIECES, bos_id=1, eos_id=2, pad_id=-1))
+    assert len(m.pieces) == len(_BASE_PIECES)
+    assert m.pieces[3] == ("▁hello", -1.0, spc.NORMAL)
+    assert m.pieces[0][2] == spc.UNKNOWN and m.pieces[1][2] == spc.CONTROL
+    assert (m.model_type, m.unk_id, m.bos_id, m.eos_id, m.pad_id) == (1, 0, 1, 2, -1)
+    assert m.add_dummy_prefix and m.escape_whitespaces and not m.has_charsmap
+
+
+def test_viterbi_picks_best_scoring_segmentation():
+    c = _codec()
+    # "hello world" → "▁hello▁world": [▁hello, ▁world] (-2.5) beats
+    # [▁, hello, ▁world] (-6.5) and every char-level path.
+    assert _ids(c, "hello world") == [3, 4]
+    # No-space continuation: "▁helloworld" → [▁hello, wor, ld] (-9.5) vs
+    # [▁hello, world]? "world" piece has no ▁... "helloworld" after "▁hello"
+    # leaves "world" (-2.5): total -3.5 — Viterbi must find it.
+    assert _ids(c, "helloworld") == [3, 6]
+
+
+def test_dummy_prefix_and_whitespace_collapse():
+    c = _codec()
+    # remove_extra_whitespaces collapses runs and strips edges before ▁-escaping.
+    assert _ids(c, "  hello   world  ") == [3, 4]
+    c2 = _codec(add_dummy_prefix=False)
+    # Without the dummy prefix, "hello world" starts with the bare piece.
+    assert _ids(c2, "hello world") == [5, 4]
+    c3 = _codec(remove_extra_whitespaces=False, add_dummy_prefix=False)
+    # "hello  world" keeps both spaces: hello ▁ ▁world
+    assert _ids(c3, "hello  world") == [5, 7, 4]
+
+
+def test_control_pieces_do_not_match_surface_text():
+    c = _codec(add_dummy_prefix=False)
+    ids = _ids(c, "<s>")
+    assert 1 not in ids and 2 not in ids  # control ids never from raw text
+
+
+def test_unknown_chars_without_byte_fallback_use_unk():
+    c = _codec(add_dummy_prefix=False)
+    assert _ids(c, "hexllo") == [8, 0, 9]  # he <unk:x> llo
+    # decode renders the unk surface
+    assert c.decode([8, 0, 9]) == "he ⁇ llo"
+
+
+def test_byte_fallback_expands_unknown_chars():
+    pieces = list(_BASE_PIECES) + [(f"<0x{i:02X}>", -10.0, spc.BYTE) for i in range(256)]
+    c = _codec(pieces, byte_fallback=True, add_dummy_prefix=False)
+    ids = _ids(c, "héllo")
+    byte0 = len(_BASE_PIECES)
+    # "é" is 2 UTF-8 bytes: 0xC3 0xA9 → two byte pieces between "h" and "llo"
+    assert ids == [12, byte0 + 0xC3, byte0 + 0xA9, 9]
+    assert c.decode(ids) == "héllo"
+
+
+def test_decode_roundtrip_and_specials():
+    c = _codec()
+    ids = c.encode("hello world")
+    assert c.decode([c.bos_id()] + ids + [c.eos_id()]) == "hello world"
+    assert c.decode([]) == ""
+    # newline piece survives the roundtrip (identity normalizer keeps \n)
+    ids_nl = c.encode("hello\nworld")
+    assert c.decode(ids_nl) == "hello\nworld"
+
+
+def test_api_surface():
+    c = _codec()
+    assert c.vocab_size() == len(_BASE_PIECES)
+    assert (c.bos_id(), c.eos_id(), c.unk_id(), c.pad_id()) == (1, 2, 0, -1)
+    assert c.id_to_piece(3) == "▁hello"
+    assert c.piece_to_id("▁hello") == 3
+    assert c.piece_to_id("<s>") == 1  # non-matchable pieces found by scan
+    assert c.piece_to_id("zzz") == c.unk_id()
+
+
+def test_bpe_and_charsmap_models_raise():
+    with pytest.raises(NotImplementedError, match="unigram"):
+        _codec(model_type=2)
+    with pytest.raises(NotImplementedError, match="charsmap"):
+        _codec(charsmap=b"\x01\x02\x03\x04")
+
+
+def test_tokenizer_codec_uses_pure_python_without_wheel(tmp_path, monkeypatch):
+    """tokenizer.SentencePieceCodec must resolve the REAL model file without the
+    wheel, and PaligemmaTokenizer must then produce ids from it (not the hash
+    fallback)."""
+    path = tmp_path / "toy_tokenizer.model"
+    path.write_bytes(build_model(_BASE_PIECES))
+    codec = tok.SentencePieceCodec(str(path))
+    ids = codec.encode("hello world", add_bos=True)
+    assert ids == [1, 3, 4]  # bos from trainer_spec, then the Viterbi pieces
+    assert codec.decode(ids) == "hello world"
+    assert codec.vocab_size() == len(_BASE_PIECES)
+
+    monkeypatch.setenv("KAI0_PALIGEMMA_TOKENIZER", str(path))
+    pal = tok.PaligemmaTokenizer(max_len=8)
+    assert isinstance(pal._codec, tok.SentencePieceCodec)
+    tokens, mask = pal.tokenize("hello world")
+    assert tokens[0] == 1 and int(mask.sum()) >= 3
+
+
+def test_cross_check_against_real_wheel():
+    """On hosts that have the sentencepiece wheel, every text must produce the
+    SAME ids through the pure-Python codec (skipped where the wheel is absent —
+    this is the cheap half of scripts/validate_tokenizer.py)."""
+    for kw in (
+        dict(),
+        dict(add_dummy_prefix=False),
+        dict(remove_extra_whitespaces=False),
+    ):
+        model = build_model(_BASE_PIECES, **kw)
+        wheel = _maybe_wheel(model)
+        ours = spc.UnigramSentencePiece(model)
+        for text in ("hello world", "  hello   world ", "helloworld", "hello\nworld",
+                     "a b", "wor ld hello", ""):
+            assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
+            ids = ours.encode(text)
+            assert wheel.decode(ids) == ours.decode(ids), (kw, text)
+
+
+def test_cross_check_byte_fallback_against_real_wheel():
+    pieces = list(_BASE_PIECES) + [(f"<0x{i:02X}>", -10.0, spc.BYTE) for i in range(256)]
+    model = build_model(pieces, byte_fallback=True)
+    wheel = _maybe_wheel(model)
+    ours = spc.UnigramSentencePiece(model)
+    for text in ("héllo wörld", "hello 日本語", "a\x00b"):
+        assert list(wheel.encode(text)) == ours.encode(text), text
+
+
+def test_digit_heavy_state_strings_stay_stable():
+    """The π₀.₅ prompt embeds 256-bin state integers; a vocab with digit pieces
+    must segment them deterministically and roundtrip."""
+    pieces = list(_BASE_PIECES) + [(str(d), -5.0, None) for d in range(10)]
+    c = spc.UnigramSentencePiece(build_model(pieces))
+    state = np.asarray([0.0, -1.0, 0.99])
+    bins = np.digitize(state, bins=np.linspace(-1, 1, 257)[:-1]) - 1
+    text = " ".join(map(str, bins))
+    ids = c.encode(text)
+    assert c.decode(ids) == text
