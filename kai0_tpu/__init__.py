@@ -10,7 +10,7 @@ Structural parity is tracked against the reference at /root/reference (see SURVE
 file:line citations in docstrings refer to that tree.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
 
 
 def _setup_compilation_cache() -> None:

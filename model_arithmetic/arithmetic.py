@@ -21,8 +21,10 @@ import pathlib
 import pickle
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 logger = logging.getLogger("kai0_tpu")
 
 

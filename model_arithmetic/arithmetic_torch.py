@@ -27,8 +27,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 logger = logging.getLogger("kai0_tpu")
 
 _OPT_METHODS = (

@@ -39,8 +39,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None or importlib.util.find_spec("bench") is None:  # bare checkout / repo-root bench module
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 # v5e peak: 197 TFLOPS bf16 (the full-FT step has no int8 matmuls by default).
 V5E_BF16_PEAK_FLOPS = 197e12
 

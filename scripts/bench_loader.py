@@ -19,9 +19,10 @@ import time
 
 import numpy as np
 
-sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+import importlib.util
 
-
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 def make_dataset(root: pathlib.Path, episodes: int, length: int, res: tuple[int, int]) -> pathlib.Path:
     from kai0_tpu.data.lerobot_writer import LeRobotDatasetWriter, feature_spec
 

@@ -24,9 +24,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import importlib.util
 
-
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--params-m", type=int, default=1200, help="synthetic tree size, millions of params")

@@ -23,8 +23,12 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "packages", "kai0-client", "src"))
+import importlib.util
+
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+if importlib.util.find_spec("kai0_client") is None:
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "packages", "kai0-client", "src"))
 
 import jax
 import jax.numpy as jnp

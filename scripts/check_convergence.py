@@ -14,8 +14,10 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":

@@ -31,8 +31,10 @@ import os
 import sys
 import time
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None or importlib.util.find_spec("bench") is None:  # bare checkout / repo-root bench module
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 

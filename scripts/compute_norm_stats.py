@@ -17,8 +17,10 @@ import sys
 import numpy as np
 import tqdm
 
-sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import kai0_tpu.shared.normalize as normalize
 import kai0_tpu.training.config as _config
 import kai0_tpu.training.data_loader as _data_loader
@@ -65,10 +67,14 @@ def main(config_name: str, max_frames: int | None = None, batch_size: int | None
     return output_path
 
 
-if __name__ == "__main__":
+def cli() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config_name")
     parser.add_argument("--max_frames", type=int, default=None)
     parser.add_argument("--batch_size", type=int, default=None)
     args = parser.parse_args()
     main(args.config_name, args.max_frames, args.batch_size)
+
+
+if __name__ == "__main__":
+    cli()

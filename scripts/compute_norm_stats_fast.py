@@ -18,8 +18,10 @@ import sys
 import numpy as np
 import tqdm
 
-sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
 import kai0_tpu.shared.normalize as normalize
 import kai0_tpu.training.config as _config
 
@@ -102,10 +104,14 @@ def main(config_name: str, base_dir: str | None = None, max_frames: int | None =
     return output_path
 
 
-if __name__ == "__main__":
+def cli() -> None:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("config_name")
     parser.add_argument("--base_dir", default=None)
     parser.add_argument("--max_frames", type=int, default=None)
     args = parser.parse_args()
     main(args.config_name, args.base_dir, args.max_frames)
+
+
+if __name__ == "__main__":
+    cli()

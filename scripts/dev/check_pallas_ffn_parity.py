@@ -18,8 +18,10 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -18,7 +18,11 @@ import logging
 import socket
 import sys
 
-sys.path.insert(0, ".")  # repo-root execution
+import importlib.util
+import os
+
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from kai0_tpu.serving import websocket_policy_server  # noqa: E402  (sets up client path)
 from kai0_tpu.policies import policy as _policy  # noqa: E402

@@ -12,8 +12,10 @@ import argparse
 import pathlib
 import sys
 
-sys.path.insert(0, str(pathlib.Path(__file__).parent.parent.parent))
+import importlib.util
 
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent.parent))
 # (model_type, model_name) → estimator config + checkpoint + inference mode.
 MODELS_CONFIG_MAP: dict[str, dict[str, dict]] = {
     "Flatten-Fold": {

@@ -28,10 +28,14 @@ from typing import Protocol
 
 import numpy as np
 
-sys.path.insert(0, str(pathlib.Path(__file__).parent.parent.parent))
-sys.path.insert(
-    0, str(pathlib.Path(__file__).parent.parent.parent / "packages" / "kai0-client" / "src")
-)
+import importlib.util
+
+if importlib.util.find_spec("kai0_tpu") is None:  # bare checkout (not pip-installed)
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent.parent))
+if importlib.util.find_spec("kai0_client") is None:
+    sys.path.insert(
+        0, str(pathlib.Path(__file__).parent.parent.parent / "packages" / "kai0-client" / "src")
+    )
 
 from kai0_tpu.deploy import make_ensembling_buffer, make_stream_buffer
 from kai0_tpu.deploy.rtc_client import RTCClient
