@@ -250,3 +250,106 @@ def test_create_trained_policy_serves_torch_checkpoint(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out_jax["actions"]), np.asarray(out_torch["actions"]), rtol=1e-5, atol=1e-5
     )
+
+
+def test_advantage_estimator_numerical_golden(tmp_path):
+    """AdvantageEstimator numerical golden vs the torch reference semantics
+    (reference pi0_pytorch.py:464-481 value head, :561-587 loss composition,
+    :596-644 sample_values) — VERDICT round-4 item 4.
+
+    Known value-head weights travel through the safetensors interop (a
+    consistent-but-wrong transpose would pass a roundtrip test, so the torch
+    side here is the ACTUAL ``nn.Sequential(Linear,SiLU,Linear,SiLU,Linear,
+    Tanh)`` of the reference, evaluated on the SAME deep representation): the
+    head output, the clamp of the progress target, and the
+    ``w_a·loss_action + w_v·loss_value`` composition must all match within
+    1e-3 (trunk fidelity itself is pinned by the pi0 goldens)."""
+    import dataclasses
+
+    from kai0_tpu.models import advantage as _adv
+    from kai0_tpu.models import model as _model
+
+    config = _adv.AdvantageEstimatorConfig(
+        paligemma_variant="dummy",
+        action_expert_variant="dummy",
+        vision_variant="mu/14",
+        dtype="float32",
+        pi05=True,
+        action_horizon=8,
+        action_dim=6,
+        loss_action_weight=0.3,
+        loss_value_weight=2.5,
+    )
+    params = config.init_params(jax.random.key(0))
+    width = config.action_expert_config.width
+
+    # Fixture: KNOWN value-head weights, written as a torch-convention
+    # safetensors file and loaded back through the interop key map.
+    rng = np.random.default_rng(42)
+    torch_head = torch.nn.Sequential(
+        torch.nn.Linear(width, width), torch.nn.SiLU(),
+        torch.nn.Linear(width, width), torch.nn.SiLU(),
+        torch.nn.Linear(width, 1), torch.nn.Tanh(),
+    )
+    state = tsf.jax_to_torch_state(params, config)
+    with torch.no_grad():
+        for idx in (0, 2, 4):
+            w = rng.normal(0, 0.2, torch_head[idx].weight.shape).astype(np.float32)
+            b = rng.normal(0, 0.1, torch_head[idx].bias.shape).astype(np.float32)
+            torch_head[idx].weight.copy_(torch.from_numpy(w))
+            torch_head[idx].bias.copy_(torch.from_numpy(b))
+            state[f"value_head.{idx}.weight"] = w
+            state[f"value_head.{idx}.bias"] = b
+    import safetensors.numpy
+
+    safetensors.numpy.save_file(state, str(tmp_path / "model.safetensors"))
+    loaded = tsf.load_torch_checkpoint(tmp_path, config)
+    params = jax.tree.map(jnp.asarray, loaded)
+
+    # --- sample_values: replicate its internal rng draws to get the SAME
+    # trunk input, extract deep_rep from the trunk, and compare the JAX head
+    # against the torch reference head on it.
+    obs = config.fake_obs(3)
+    obs.progress = jnp.asarray([0.5, -2.0, 0.9])  # middle target clamps to -1
+    key = jax.random.key(7)
+    values = np.asarray(_adv.sample_values(params, config, key, obs))
+
+    obs_pp = _model.preprocess_observation(None, obs, train=False)
+    noise_rng, time_rng = jax.random.split(key)
+    noise = jax.random.normal(noise_rng, (3, config.action_horizon, config.action_dim))
+    time = jax.random.beta(time_rng, 1.5, 1, (3,)) * 0.999 + 0.001
+    suffix_out = _adv._suffix_forward(params, config, obs_pp, noise, time)
+    deep_rep = np.asarray(suffix_out[:, 0, :], np.float32)  # reference :641: suffix_out[:, 0]
+    with torch.no_grad():
+        want_values = torch_head(torch.from_numpy(deep_rep)).numpy()
+    np.testing.assert_allclose(values, want_values, atol=1e-3)
+    assert np.all(np.abs(values) <= 1.0)
+
+    # --- loss composition: loss(w_a, w_v) must equal w_a·loss_action +
+    # w_v·(value_pred − clamp(progress))² with value_pred from the TORCH head
+    # (linearity over the same rng draws isolates the composition).
+    actions = config.fake_act(3)
+    lkey = jax.random.key(11)
+    loss, aux = _adv.compute_loss_and_aux(params, config, lkey, obs, actions)
+
+    cfg_a = dataclasses.replace(config, loss_action_weight=1.0, loss_value_weight=0.0)
+    loss_a, _ = _adv.compute_loss_and_aux(params, cfg_a, lkey, obs, actions)
+
+    # value term, computed independently: same internal draws as compute_loss
+    _, noise_rng, time_rng = jax.random.split(lkey, 3)
+    noise = jax.random.normal(noise_rng, actions.shape)
+    time = jax.random.beta(time_rng, 1.5, 1, actions.shape[:-2]) * 0.999 + 0.001
+    te = time[..., None, None]
+    x_t = te * noise + (1 - te) * jnp.asarray(actions)
+    suffix_out = _adv._suffix_forward(params, config, obs_pp, x_t, time)
+    deep_rep = np.asarray(suffix_out[:, 0, :], np.float32)
+    with torch.no_grad():
+        value_pred = torch_head(torch.from_numpy(deep_rep)).numpy()
+    progress_tgt = np.clip(np.asarray(obs.progress, np.float32), -1.0, 1.0)[:, None]
+    want_value_loss = (value_pred - progress_tgt) ** 2  # F.mse_loss reduction="none"
+
+    want = 0.3 * np.asarray(loss_a) + 2.5 * want_value_loss
+    np.testing.assert_allclose(np.asarray(loss), want, atol=1e-3)
+    np.testing.assert_allclose(
+        float(aux["loss_value"]), float(want_value_loss.mean()), atol=1e-3
+    )
