@@ -77,6 +77,13 @@ class DataConfig:
     # Optional episode subset (Model Arithmetic splits, advantage train/val).
     episodes: Sequence[int] | None = None
 
+    # Train-time space-mirroring augmentation (kai0_tpu/data/augment_views.py):
+    # the dataset view serves every frame plus its horizontally mirrored twin —
+    # the offline create_mirror_and_merge pipeline without the disk double or
+    # the lossy video re-encode. Dims follow the bimanual [L(7)][R(7)] layout.
+    augment_mirror: bool = False
+    augment_mirror_dims: tuple[int, int] = (7, 7)
+
     # RLDS path (large-scale DROID training, reference config.py:549-614). When
     # ``rlds_data_dir`` is set the loader streams tf.data RLDS instead of LeRobot.
     rlds_data_dir: str | None = None

@@ -129,3 +129,68 @@ def test_convert_h5_roundtrip(tmp_path):
     item = ds[3]
     assert np.allclose(item["observation.state"], 3.0)
     assert item["observation.images.top"].shape == (32, 32, 3)
+
+
+def test_mirrored_view_matches_offline_rewrite(bimanual_root, tmp_path):
+    """Train-time MirroredView ≡ offline create_mirror_and_merge (VERDICT r4
+    item 7): same index layout (originals then mirrored twins), exact
+    state/action arm swaps, flipped + slot-swapped wrist cameras (images within
+    mp4 re-encode tolerance — the view flips DECODED frames, losslessly)."""
+    from kai0_tpu.data.augment_views import MirroredView
+
+    merged_meta = space_mirroring.create_mirror_and_merge(bimanual_root, tmp_path / "merged")
+    offline = LeRobotDataset(str(tmp_path / "merged"), action_horizon=4,
+                             action_sequence_keys=("action",))
+    view = MirroredView(
+        LeRobotDataset(str(bimanual_root), action_horizon=4, action_sequence_keys=("action",))
+    )
+    assert len(view) == len(offline) == 2 * merged_meta.info["total_frames"] // 2
+
+    for idx in (0, 3, 25, len(view) - 1):  # originals and mirrored half
+        a, b = view[idx], offline[idx]
+        np.testing.assert_allclose(a["observation.state"], b["observation.state"], atol=1e-6)
+        np.testing.assert_allclose(a["action"], b["action"], atol=1e-6)
+        for cam in ("top_head", "hand_left", "hand_right"):
+            key = f"observation.images.{cam}"
+            diff = np.abs(a[key].astype(np.float32) - b[key].astype(np.float32)).mean()
+            assert diff < 30, (idx, cam, diff)  # mp4 lossiness bound (see flip test above)
+
+    # the mirrored half really is mirrored: arm blocks swapped, frames flipped
+    orig, mirr = view[2], view[2 + len(view) // 2]
+    np.testing.assert_array_equal(mirr["observation.state"][:7], orig["observation.state"][7:])
+    np.testing.assert_array_equal(
+        mirr["observation.images.top_head"], orig["observation.images.top_head"][:, ::-1]
+    )
+    np.testing.assert_array_equal(
+        mirr["observation.images.hand_left"], orig["observation.images.hand_right"][:, ::-1]
+    )
+
+
+def test_augment_mirror_config_flag(bimanual_root):
+    """A config with data.augment_mirror=True doubles the dataset through
+    create_dataset and serves mirrored items past the original length."""
+    import dataclasses as _dc
+
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.training import config as _config
+    from kai0_tpu.training import data_loader as _data_loader
+
+    model = _pi0.Pi0Config(
+        paligemma_variant="dummy", action_expert_variant="dummy",
+        vision_variant="mu/14", dtype="float32", pi05=True,
+    )
+    data_config = _dc.replace(
+        _config.DataConfig(),
+        repo_id=str(bimanual_root),
+        action_sequence_keys=("action",),
+        augment_mirror=True,
+    )
+    ds = _data_loader.create_dataset(data_config, model)
+    base = LeRobotDataset(str(bimanual_root), action_horizon=model.action_horizon,
+                          action_sequence_keys=("action",))
+    assert len(ds) == 2 * len(base)
+    mirrored = ds[len(base)]
+    np.testing.assert_array_equal(mirrored["observation.state"][:7], base[0]["observation.state"][7:])
+
+    with pytest.raises(ValueError, match="advantage"):
+        _data_loader.create_dataset(data_config, model, advantage=True)
