@@ -16,10 +16,14 @@ Numerics contract vs the XLA path:
   only the stochastic-rounding draw differs (Pallas per-core PRNG instead of
   jax.random) — same unbiased-in-log-space distribution, different stream.
 
-Default ON for single-device TPU meshes (``KAI0_Q8_PALLAS=0`` reverts to the
-XLA path); CPU backends, multi-device meshes (GSPMD cannot partition Mosaic
-custom calls), and sub-block leaves fall back — see
-``optimizer._q8_pallas_enabled``.
+Default ON for TPU meshes (``KAI0_Q8_PALLAS=0`` reverts to the XLA path).
+GSPMD cannot partition Mosaic custom calls, so on >1-device meshes the block
+grid runs under ``shard_map`` (``adam_q8_leaf_sharded``): blocks are cut
+globally by XLA (identical codec bytes to the single-device path), the padded
+block-row axis is sharded over ALL mesh axes (the update is embarrassingly
+parallel per block), and each device runs the kernel on its contiguous row
+slice with a disjoint PRNG-stream offset. CPU backends and sub-block leaves
+fall back — see ``optimizer._q8_pallas_mode``.
 """
 
 from __future__ import annotations
@@ -100,34 +104,19 @@ def _kernel(scal_ref, seed_ref, g_ref, mq_ref, ms_ref, vq_ref, vs_ref,
     nvs_ref[:] = nvs
 
 
-@functools.partial(jax.jit, static_argnames=("b1", "b2", "interpret", "deterministic"))
-def adam_q8_leaf(g, mq, ms, vq, vs, scalars, seed, *, b1: float, b2: float,
-                 interpret: bool = False, deterministic: bool | None = None):
-    """One parameter leaf: (grad, packed mu, packed nu, scalars, seed) → (update, new packs).
+def _pallas_blocks(scalars, seed, gb, mqb, msb, vqb, vsb, *, b1: float, b2: float,
+                   deterministic: bool, interpret: bool):
+    """Run the kernel over already-blocked arrays.
 
-    ``g``/``mq``/``vq`` are leaf-shaped; ``ms``/``vs`` are the per-block scale
-    vectors ``[n_blocks]``; ``scalars`` is f32[2] = [sqrt(c2)/c1, eps·sqrt(c2)]
-    (the folded bias-correction factors); ``seed`` is int32[1].
+    ``gb``/``mqb``/``vqb`` are ``[rows, _QBLOCK]`` with ``rows % _ROWS == 0``;
+    ``msb``/``vsb`` are ``[rows, 1]`` block scales. This is the shard-local body
+    of ``adam_q8_leaf_sharded`` and the core of ``adam_q8_leaf``.
     """
-    shape, n = g.shape, g.size
-    nb = -(-n // _QBLOCK)
-    nbp = -(-nb // _ROWS) * _ROWS
-    pad = nbp * _QBLOCK - n
-
-    def blocks(x, fill=0):
-        x = x.reshape(-1)
-        return jnp.pad(x, (0, pad), constant_values=fill).reshape(nbp, _QBLOCK)
-
-    gb = blocks(g)
-    sc = jnp.pad(ms, (0, nbp - nb)).reshape(nbp, 1)
-    vc = jnp.pad(vs, (0, nbp - nb)).reshape(nbp, 1)
-
-    grid = (nbp // _ROWS,)
+    rows = gb.shape[0]
+    grid = (rows // _ROWS,)
     row_spec = pl.BlockSpec((_ROWS, _QBLOCK), lambda i: (i, 0))
     scale_spec = pl.BlockSpec((_ROWS, 1), lambda i: (i, 0))
-    if deterministic is None:
-        deterministic = interpret
-    out, nmq, nms, nvq, nvs = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_kernel, b1=b1, b2=b2, deterministic=deterministic),
         grid=grid,
         in_specs=[
@@ -137,15 +126,40 @@ def adam_q8_leaf(g, mq, ms, vq, vs, scalars, seed, *, b1: float, b2: float,
         ],
         out_specs=[row_spec, row_spec, scale_spec, row_spec, scale_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((nbp, _QBLOCK), g.dtype),
-            jax.ShapeDtypeStruct((nbp, _QBLOCK), jnp.int8),
-            jax.ShapeDtypeStruct((nbp, 1), jnp.float32),
-            jax.ShapeDtypeStruct((nbp, _QBLOCK), jnp.uint8),
-            jax.ShapeDtypeStruct((nbp, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _QBLOCK), gb.dtype),
+            jax.ShapeDtypeStruct((rows, _QBLOCK), jnp.int8),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, _QBLOCK), jnp.uint8),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(scalars, seed, gb, blocks(mq), sc, blocks(vq), vc)
+    )(scalars, seed, gb, mqb, msb, vqb, vsb)
 
+
+def _block_layout(g, mq, ms, vq, vs, *, row_align: int):
+    """Flatten + pad a leaf and its packed moments to the kernel's block layout.
+
+    Returns ``(gb, mqb, msb, vqb, vsb, nb, nbp)`` with ``nbp`` (padded block
+    rows) a multiple of ``row_align``. Padding only ever ADDS zero blocks past
+    the leaf's ``nb`` real blocks — the stored codec bytes (``[:nb]`` scales,
+    leaf-shaped q) are invariant to ``row_align``, which is what keeps the
+    sharded path checkpoint-compatible with the single-device one.
+    """
+    n = g.size
+    nb = -(-n // _QBLOCK)
+    nbp = -(-nb // row_align) * row_align
+    pad = nbp * _QBLOCK - n
+
+    def blocks(x):
+        x = x.reshape(-1)
+        return jnp.pad(x, (0, pad)).reshape(nbp, _QBLOCK)
+
+    sc = jnp.pad(ms, (0, nbp - nb)).reshape(nbp, 1)
+    vc = jnp.pad(vs, (0, nbp - nb)).reshape(nbp, 1)
+    return blocks(g), blocks(mq), sc, blocks(vq), vc, nb, nbp
+
+
+def _unleaf_outputs(out, nmq, nms, nvq, nvs, *, shape, n, nb):
     def unleaf(x):
         return x.reshape(-1)[:n].reshape(shape)
 
@@ -154,3 +168,85 @@ def adam_q8_leaf(g, mq, ms, vq, vs, scalars, seed, *, b1: float, b2: float,
         {"q": unleaf(nmq), "s": nms.reshape(-1)[:nb]},
         {"q": unleaf(nvq), "s": nvs.reshape(-1)[:nb]},
     )
+
+
+@functools.partial(jax.jit, static_argnames=("b1", "b2", "interpret", "deterministic"))
+def adam_q8_leaf(g, mq, ms, vq, vs, scalars, seed, *, b1: float, b2: float,
+                 interpret: bool = False, deterministic: bool | None = None):
+    """One parameter leaf: (grad, packed mu, packed nu, scalars, seed) → (update, new packs).
+
+    ``g``/``mq``/``vq`` are leaf-shaped; ``ms``/``vs`` are the per-block scale
+    vectors ``[n_blocks]``; ``scalars`` is f32[2] = [sqrt(c2)/c1, eps·sqrt(c2)]
+    (the folded bias-correction factors); ``seed`` is int32[1].
+    """
+    if deterministic is None:
+        deterministic = interpret
+    gb, mqb, msb, vqb, vsb, nb, _ = _block_layout(g, mq, ms, vq, vs, row_align=_ROWS)
+    out, nmq, nms, nvq, nvs = _pallas_blocks(
+        scalars, seed, gb, mqb, msb, vqb, vsb,
+        b1=b1, b2=b2, deterministic=deterministic, interpret=interpret,
+    )
+    return _unleaf_outputs(out, nmq, nms, nvq, nvs, shape=g.shape, n=g.size, nb=nb)
+
+
+def adam_q8_leaf_sharded(g, mq, ms, vq, vs, scalars, seed, *, b1: float, b2: float,
+                         mesh, interpret: bool = False, deterministic: bool | None = None):
+    """``adam_q8_leaf`` with the block grid shard_mapped over ``mesh``.
+
+    GSPMD cannot partition Mosaic custom calls, and the codec's 2048-element
+    blocks are defined over the leaf's GLOBAL row-major flattening — no
+    leaf-shaped axis sharding is block-aligned in general (e.g. gemma's stacked
+    ``[18, 2, 2048, 16384]`` FFN weights shard their largest axis). So the
+    block cut happens OUTSIDE the kernel, in XLA: flatten + pad to block rows
+    divisible by ``_ROWS · mesh.size`` (GSPMD relayouts the operands — cheap
+    int8/bf16 traffic vs the f32 transient pool it buys off, PERF.md round 4),
+    then shard_map the kernel over the contiguous row slices, every mesh axis
+    flattened together (the update is block-parallel — there is no reason to
+    leave the ``batch``/``tp`` axes idle). Each shard offsets the PRNG seed by
+    its linearized mesh index × local grid size, so SR streams are disjoint
+    exactly like the single-device kernel's per-program streams. Codec bytes
+    (scales, q layout) are IDENTICAL to the single-device path — pinned by
+    tests/test_optimizer.py::test_pallas_q8_sharded_matches_leaf.
+
+    Must be called under a jit tracing with ``mesh`` (the train step); called
+    eagerly it would materialize the global block layout on one device.
+    """
+    if mesh.size == 1:
+        return adam_q8_leaf(g, mq, ms, vq, vs, scalars, seed, b1=b1, b2=b2,
+                            interpret=interpret, deterministic=deterministic)
+    if deterministic is None:
+        deterministic = interpret
+    k = mesh.size
+    gb, mqb, msb, vqb, vsb, nb, nbp = _block_layout(g, mq, ms, vq, vs, row_align=_ROWS * k)
+    local_grid = nbp // k // _ROWS
+    axes = tuple(mesh.axis_names)
+
+    def local_fn(scalars, seed, gb, mqb, msb, vqb, vsb):
+        idx = jnp.int32(0)
+        for a in axes:  # linearized mesh index, row-major over axis_names
+            idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+        return _pallas_blocks(
+            scalars, seed + idx * local_grid, gb, mqb, msb, vqb, vsb,
+            b1=b1, b2=b2, deterministic=deterministic, interpret=interpret,
+        )
+
+    from jax.sharding import PartitionSpec as P
+
+    row = P(axes, None)
+    rep = P()
+    shard_map = getattr(jax, "shard_map", None)
+    if shard_map is None:  # older jax
+        from jax.experimental.shard_map import shard_map
+    kwargs = dict(
+        mesh=mesh,
+        in_specs=(rep, rep, row, row, row, row, row),
+        out_specs=(row, row, row, row, row),
+    )
+    try:
+        # check_vma cannot infer varying-axes for Pallas custom calls (same
+        # constraint as ops/attention.py:_shard_map_batch).
+        mapped = shard_map(local_fn, check_vma=False, **kwargs)
+    except TypeError:  # older jax: the flag was named check_rep
+        mapped = shard_map(local_fn, check_rep=False, **kwargs)
+    out, nmq, nms, nvq, nvs = mapped(scalars, seed, gb, mqb, msb, vqb, vsb)
+    return _unleaf_outputs(out, nmq, nms, nvq, nvs, shape=g.shape, n=g.size, nb=nb)

@@ -233,26 +233,45 @@ def _scale_by_adam_compact(b1: float, b2: float, eps: float, state_dtype) -> opt
     return optax.GradientTransformation(init, update)
 
 
-def _q8_pallas_enabled() -> bool:
-    """Fused Pallas kernel for the q8 AdamW phase (``KAI0_Q8_PALLAS``, default ON).
+def _q8_pallas_mode() -> tuple[str | None, "jax.sharding.Mesh | None", bool]:
+    """Route the q8 AdamW phase (``KAI0_Q8_PALLAS``, default ON).
 
-    One VMEM pass per block tile (kai0_tpu/ops/pallas_q8.py) instead of the XLA
-    per-leaf fusion islands: 1.94× measured, and it removes the XLA path's f32
-    transient pool (PERF.md round 4). TPU backends only (CPU falls back), and
-    SINGLE-DEVICE meshes only: GSPMD cannot partition Mosaic custom calls
-    (the round-3 flash-attention lesson), and a shard_map wrapper would need
-    2048-aligned per-shard block structure to keep the checkpoint codec
-    stable — the multi-device configuration stays on the XLA path until that
-    is built and AOT-validated. ``KAI0_Q8_PALLAS=0`` selects the XLA path
-    everywhere.
+    Returns ``(mode, mesh, interpret)`` resolved at trace time:
+
+    - ``("leaf", None, _)`` — per-leaf fused Pallas kernel
+      (kai0_tpu/ops/pallas_q8.py): one VMEM pass per block tile instead of the
+      XLA per-leaf fusion islands — 1.94× measured, and it removes the XLA
+      path's f32 transient pool (PERF.md round 4).
+    - ``("sharded", mesh, _)`` — the same kernel shard_mapped over the active
+      mesh (``pallas_q8.adam_q8_leaf_sharded``): GSPMD cannot partition Mosaic
+      custom calls (the round-3 flash-attention lesson), so on >1-device
+      meshes the block grid is cut by XLA and sharded explicitly. This is what
+      lets the bf16-param + int8-moment bundle compile for v5e-8 (the XLA q8
+      phase AOT-OOMed it at 18.2-18.3 GiB batch-independently, PERF.md
+      round 4).
+    - ``(None, None, _)`` — XLA path: knob off, non-TPU backend (unless the
+      test-only ``KAI0_Q8_PALLAS_INTERPRET=1`` forces interpret mode for the
+      virtual CPU mesh), or — per ADVICE round 4 — a multi-device host traced
+      with NO active mesh: rather than guess ambient state and bake an
+      unpartitionable Mosaic call into a GSPMD program, fall back to the
+      always-partitionable XLA path.
     """
     from kai0_tpu import knobs as _knobs
     from kai0_tpu.parallel import sharding as _sharding
 
-    if not (_knobs.get().q8_pallas and jax.default_backend() == "tpu"):
-        return False
+    if not _knobs.get().q8_pallas:
+        return None, None, False
+    interpret = jax.default_backend() != "tpu"
+    if interpret and not _knobs.env_flag("KAI0_Q8_PALLAS_INTERPRET"):
+        return None, None, False
     mesh = _sharding.active_mesh()
-    return mesh is None or mesh.size == 1
+    if mesh is None:
+        if jax.device_count() == 1:
+            return "leaf", None, interpret
+        return None, None, False
+    if mesh.size == 1:
+        return "leaf", None, interpret
+    return "sharded", mesh, interpret
 
 
 def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransformation:
@@ -283,23 +302,35 @@ def _scale_by_adam_q8(b1: float, b2: float, eps: float) -> optax.GradientTransfo
         mu_packed = treedef.flatten_up_to(state.mu)
         nu_packed = treedef.flatten_up_to(state.nu)
         base = jax.random.fold_in(jax.random.key(0x6B62, impl="rbg"), count)
-        use_pallas = _q8_pallas_enabled()
-        if use_pallas:
+        mode, mesh, interpret = _q8_pallas_mode()
+        if mode is not None:
             from kai0_tpu.ops import pallas_q8
 
             assert pallas_q8._QBLOCK == _QBLOCK, "kernel/codec block size drift"
 
             # a·m/(sqrt(v)+b) ≡ (m/c1)/(sqrt(v/c2)+eps), folded outside the kernel.
             scalars = jnp.stack([jnp.sqrt(c2) / c1, eps * jnp.sqrt(c2)]).astype(jnp.float32)
+            # Sharded routing only pays for leaves big enough that every shard
+            # gets at least one full [_ROWS, _QBLOCK] tile; smaller leaves'
+            # XLA-path transients are proportionally small.
+            min_sharded = mesh.size * pallas_q8._ROWS * _QBLOCK if mode == "sharded" else 0
         out, new_mu, new_nu = [], [], []
         for i, (g, mp, vp) in enumerate(zip(g_leaves, mu_packed, nu_packed, strict=True)):
-            if use_pallas and g.size >= _QBLOCK:
+            use_leaf = mode == "leaf" and g.size >= _QBLOCK
+            use_sharded = mode == "sharded" and g.size >= min_sharded
+            if use_leaf or use_sharded:
                 seed = jax.random.randint(
                     jax.random.fold_in(base, i), (1,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
                 )
-                o, nm, nv = pallas_q8.adam_q8_leaf(
-                    g, mp["q"], mp["s"], vp["q"], vp["s"], scalars, seed, b1=b1, b2=b2
-                )
+                args = (g, mp["q"], mp["s"], vp["q"], vp["s"], scalars, seed)
+                if use_sharded:
+                    o, nm, nv = pallas_q8.adam_q8_leaf_sharded(
+                        *args, b1=b1, b2=b2, mesh=mesh, interpret=interpret
+                    )
+                else:
+                    o, nm, nv = pallas_q8.adam_q8_leaf(
+                        *args, b1=b1, b2=b2, interpret=interpret
+                    )
                 out.append(o)
                 new_mu.append(nm)
                 new_nu.append(nv)

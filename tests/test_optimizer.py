@@ -379,3 +379,80 @@ def test_pallas_q8_leaf_matches_xla_contract():
         ratio = dec[big] / tgt[big]
         assert np.all(ratio > 0), "sign must be preserved"
         assert np.all(np.abs(np.log(ratio)) <= step_s * 1.01), np.max(np.abs(np.log(ratio)))
+
+
+def test_pallas_q8_sharded_matches_leaf():
+    """Codec identity of the shard_mapped q8-Adam kernel (VERDICT round-4 item 1):
+    on the virtual 8-device CPU mesh, adam_q8_leaf_sharded must produce BYTE-
+    identical updates and moment packs to the single-device adam_q8_leaf
+    (deterministic rounding; the only licensed divergence in production is the
+    SR draw). Covers both an exactly shard-tile-aligned size and a ragged tail
+    that exercises the _ROWS·mesh.size padding."""
+    from kai0_tpu.ops import pallas_q8
+    from kai0_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(4, devices=jax.devices()[:8])  # (batch=2, fsdp=4)
+    b1, b2 = 0.9, 0.95
+    scalars = jnp.asarray([1.3, 1e-8], jnp.float32)
+    seed = jnp.asarray([17], jnp.int32)
+    rng = np.random.default_rng(11)
+    aligned = mesh.size * pallas_q8._ROWS * opt._QBLOCK  # one tile per shard
+    for n in (aligned, aligned + 5000):
+        g = jnp.asarray(rng.normal(0, 1e-3, (n,)), jnp.bfloat16)
+        mp = opt._q8_encode(jnp.asarray(rng.normal(0, 1e-3, (n,)), jnp.float32),
+                            jax.random.key(1), signed=True)
+        vp = opt._q8_encode(jnp.asarray(np.abs(rng.normal(0, 1e-6, (n,))), jnp.float32),
+                            jax.random.key(2), signed=False)
+        args = (g, mp["q"], mp["s"], vp["q"], vp["s"], scalars, seed)
+        out_l, nm_l, nv_l = pallas_q8.adam_q8_leaf(
+            *args, b1=b1, b2=b2, interpret=True, deterministic=True)
+        out_s, nm_s, nv_s = pallas_q8.adam_q8_leaf_sharded(
+            *args, b1=b1, b2=b2, mesh=mesh, interpret=True, deterministic=True)
+        np.testing.assert_array_equal(np.asarray(out_s), np.asarray(out_l))
+        for a, b in ((nm_s, nm_l), (nv_s, nv_l)):
+            np.testing.assert_array_equal(np.asarray(a["q"]), np.asarray(b["q"]))
+            np.testing.assert_array_equal(np.asarray(a["s"]), np.asarray(b["s"]))
+
+
+def test_adamw_q8_sharded_transform_on_mesh(monkeypatch):
+    """EXECUTE the q8-Adam transform on the 8-device CPU mesh with the sharded
+    Pallas path selected (KAI0_Q8_PALLAS_INTERPRET routes interpret mode off-TPU)
+    and pin it against the XLA path: same update (the recurrence runs on the
+    same decoded state), same block scales, decoded moments within one log
+    step (nearest- vs stochastic-rounded grid codes)."""
+    from kai0_tpu.ops import pallas_q8
+    from kai0_tpu.parallel import sharding
+
+    mesh = sharding.make_mesh(4, devices=jax.devices()[:8])
+    n = mesh.size * pallas_q8._ROWS * opt._QBLOCK  # exactly the sharded threshold
+    rng = np.random.default_rng(5)
+    params = {"big": jnp.zeros((n,), jnp.bfloat16), "tiny": jnp.zeros((64,), jnp.float32)}
+    g = {
+        "big": jnp.asarray(rng.normal(0, 1e-3, (n,)), jnp.bfloat16),
+        "tiny": jnp.asarray(rng.normal(0, 1e-3, (64,)), jnp.float32),
+    }
+    tx = opt._scale_by_adam_q8(0.9, 0.95, 1e-8)
+    state = tx.init(params)
+
+    monkeypatch.setenv("KAI0_Q8_PALLAS_INTERPRET", "1")
+    with sharding.set_mesh(mesh):
+        out_p, state_p = jax.jit(tx.update)(g, state, params)
+    monkeypatch.setenv("KAI0_Q8_PALLAS", "0")
+    with sharding.set_mesh(mesh):
+        out_x, state_x = jax.jit(tx.update)(g, state, params)
+
+    np.testing.assert_allclose(
+        np.asarray(out_p["big"], np.float32), np.asarray(out_x["big"], np.float32),
+        rtol=2e-2, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(out_p["tiny"]), np.asarray(out_x["tiny"]))
+    step_s = opt._QDECADES * np.log(10.0) / 127.0
+    for moment in ("mu", "nu"):
+        pack_p = getattr(state_p, moment)["big"]
+        pack_x = getattr(state_x, moment)["big"]
+        np.testing.assert_allclose(np.asarray(pack_p["s"]), np.asarray(pack_x["s"]), rtol=1e-5)
+        dec_p = np.asarray(opt._q8_decode(pack_p), np.float32)
+        dec_x = np.asarray(opt._q8_decode(pack_x), np.float32)
+        both = (np.abs(dec_p) > 0) & (np.abs(dec_x) > 0)
+        ratio = dec_p[both] / dec_x[both]
+        assert np.all(ratio > 0)
+        assert np.all(np.abs(np.log(ratio)) <= 2 * step_s * 1.01)
