@@ -40,6 +40,76 @@ def _swap_arm_blocks(value: np.ndarray, left_dim: int, right_dim: int) -> np.nda
     return out.reshape(arr.shape)
 
 
+class TimeScaledView:
+    """Training-time time-scaling view: episodes play back ``factor``× faster.
+
+    Serves exactly the frames the offline ``time_scaling.time_scale_dataset``
+    keeps (rows 0, N, 2N, … of every episode): state/video come from the
+    strided frame, action chunks gather rows at stride N — clamped at the last
+    KEPT frame, which reproduces LeRobot's edge padding on the offline-rewritten
+    episode — and the bookkeeping columns (``frame_index``/``timestamp``/
+    ``index``) are resequenced like the offline rewrite
+    (``time_scaling._rescale_episode_parquet``). Offline equivalence is pinned
+    by tests/test_augment.py::test_time_scaled_view_matches_offline_rewrite.
+
+    Wraps a raw :class:`~kai0_tpu.data.lerobot_dataset.LeRobotDataset` (it
+    reaches into the episode tables to gather strided action rows — decoding
+    ``action_horizon`` full items per chunk would cost 50 video reads each);
+    compose with :class:`MirroredView` by applying this view first. The offline
+    split mode (scale a fraction, merge with the untouched rest) stays an
+    offline pipeline — use ``time_scaling.time_scaling_with_split`` for that.
+    """
+
+    def __init__(self, dataset, factor: int):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self._dataset = dataset
+        self._factor = int(factor)
+        self._kept = [
+            -(-dataset.episode_length(e) // self._factor) for e in dataset.episode_indices
+        ]
+        self._offsets = np.cumsum([0] + self._kept)
+
+    def __len__(self) -> int:
+        return int(self._offsets[-1])
+
+    @property
+    def tasks(self):
+        return self._dataset.tasks
+
+    def __getitem__(self, index: int) -> dict:
+        index = int(index)
+        if index < 0 or index >= len(self):
+            raise IndexError(index)
+        ds = self._dataset
+        pos = int(np.searchsorted(self._offsets, index, side="right")) - 1
+        episode = ds.episode_indices[pos]
+        k = index - int(self._offsets[pos])
+        f = self._factor
+        kept = self._kept[pos]
+        horizon = ds._action_horizon
+
+        table = ds._tables.get(episode)
+        item: dict = {}
+        for name, col in table.items():
+            if name in ds._action_sequence_keys:
+                idx = f * np.minimum(np.arange(k, k + horizon), kept - 1)
+                item[name] = np.asarray(col[idx])
+            else:
+                item[name] = col[k * f]
+        if "frame_index" in item:
+            item["frame_index"] = np.int64(k)
+        if "timestamp" in item:
+            item["timestamp"] = np.float64(k / ds.fps)
+        if "index" in item:
+            item["index"] = np.int64(int(self._offsets[pos]) + k)
+        for video_key in ds.metadata.video_keys:
+            item[video_key] = ds._videos.read_frame(
+                ds.metadata.video_path(episode, video_key), k * f
+            )
+        return item
+
+
 class MirroredView:
     """Dataset view serving every frame plus its space-mirrored twin.
 

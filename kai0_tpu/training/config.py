@@ -83,6 +83,10 @@ class DataConfig:
     # the lossy video re-encode. Dims follow the bimanual [L(7)][R(7)] layout.
     augment_mirror: bool = False
     augment_mirror_dims: tuple[int, int] = (7, 7)
+    # Train-time time-scaling (every Nth frame; 1 = off): the offline
+    # time_scale_dataset rewrite as a view. For the offline split mode (scale a
+    # fraction, merge with the rest) keep using augment/time_scaling.py.
+    augment_time_scale: int = 1
 
     # RLDS path (large-scale DROID training, reference config.py:549-614). When
     # ``rlds_data_dir`` is set the loader streams tf.data RLDS instead of LeRobot.

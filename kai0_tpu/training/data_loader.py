@@ -115,16 +115,20 @@ def create_dataset(data_config, model_config, *, advantage: bool = False, split:
             action_sequence_keys=tuple(data_config.action_sequence_keys),
             episodes=selected,
         )
-    if getattr(data_config, "augment_mirror", False):
+    time_scale = getattr(data_config, "augment_time_scale", 1)
+    if time_scale > 1 or getattr(data_config, "augment_mirror", False):
         if advantage:
             # Estimator training disables augmentation (reference
             # pi0_pytorch.py:487), and the comparison-frame sampler assumes the
             # raw LeRobot episode structure.
-            raise ValueError("augment_mirror is not supported for advantage-estimator datasets")
-        from kai0_tpu.data.augment_views import MirroredView
+            raise ValueError("train-time augmentation is not supported for advantage-estimator datasets")
+        from kai0_tpu.data.augment_views import MirroredView, TimeScaledView
 
-        left_dim, right_dim = data_config.augment_mirror_dims
-        dataset = MirroredView(dataset, left_dim=left_dim, right_dim=right_dim)
+        if time_scale > 1:  # must wrap the raw dataset (strided chunk gather)
+            dataset = TimeScaledView(dataset, time_scale)
+        if data_config.augment_mirror:
+            left_dim, right_dim = data_config.augment_mirror_dims
+            dataset = MirroredView(dataset, left_dim=left_dim, right_dim=right_dim)
     if advantage:
         from kai0_tpu.data import advantage_dataset
 

@@ -194,3 +194,56 @@ def test_augment_mirror_config_flag(bimanual_root):
 
     with pytest.raises(ValueError, match="advantage"):
         _data_loader.create_dataset(data_config, model, advantage=True)
+
+
+def test_time_scaled_view_matches_offline_rewrite(bimanual_root, tmp_path):
+    """Train-time TimeScaledView ≡ offline time_scale_dataset: same kept
+    frames, same strided action chunks incl. the edge clamp at the last KEPT
+    frame, same resequenced bookkeeping columns; video within re-encode
+    tolerance (the view decodes the original frame — lossless)."""
+    from kai0_tpu.data.augment_views import TimeScaledView
+
+    time_scaling.time_scale_dataset(bimanual_root, tmp_path / "scaled", 2)
+    offline = LeRobotDataset(str(tmp_path / "scaled"), action_horizon=4,
+                             action_sequence_keys=("action",))
+    view = TimeScaledView(
+        LeRobotDataset(str(bimanual_root), action_horizon=4, action_sequence_keys=("action",)), 2
+    )
+    assert len(view) == len(offline) == 10  # 2 episodes × ceil(10/2)
+
+    for idx in (0, 3, 4, 5, 9):  # incl. chunk-clamp region at episode end
+        a, b = view[idx], offline[idx]
+        np.testing.assert_allclose(a["observation.state"], b["observation.state"], atol=1e-6)
+        np.testing.assert_allclose(a["action"], b["action"], atol=1e-6)
+        assert int(a["frame_index"]) == int(b["frame_index"])
+        np.testing.assert_allclose(float(a["timestamp"]), float(b["timestamp"]), atol=1e-9)
+        assert int(a["index"]) == int(b["index"])
+        for cam in ("top_head", "hand_left", "hand_right"):
+            key = f"observation.images.{cam}"
+            diff = np.abs(a[key].astype(np.float32) - b[key].astype(np.float32)).mean()
+            assert diff < 30, (idx, cam, diff)
+
+
+def test_time_scale_config_flag_composes_with_mirror(bimanual_root):
+    import dataclasses as _dc
+
+    from kai0_tpu.models import pi0 as _pi0
+    from kai0_tpu.training import config as _config
+    from kai0_tpu.training import data_loader as _data_loader
+
+    model = _pi0.Pi0Config(
+        paligemma_variant="dummy", action_expert_variant="dummy",
+        vision_variant="mu/14", dtype="float32", pi05=True,
+    )
+    data_config = _dc.replace(
+        _config.DataConfig(),
+        repo_id=str(bimanual_root),
+        action_sequence_keys=("action",),
+        augment_mirror=True,
+        augment_time_scale=2,
+    )
+    ds = _data_loader.create_dataset(data_config, model)
+    assert len(ds) == 2 * 10  # time-scale halves frames, mirror doubles them
+    # upper half is mirrored AND time-scaled
+    orig, mirr = ds[2], ds[2 + len(ds) // 2]
+    np.testing.assert_array_equal(mirr["observation.state"][:7], orig["observation.state"][7:])
