@@ -1,0 +1,107 @@
+"""Synthetic SentencePiece ``.model`` builder (minimal protobuf writer).
+
+The inverse of kai0_tpu/models/sentencepiece_codec.py's reader, shared by
+tests that need real-format unigram models without the sentencepiece wheel
+(test_sentencepiece_codec.py pins the codec; test_tokenizer.py runs the
+prompt/FAST tokenizers through the real-codec path).
+"""
+
+import struct
+
+from kai0_tpu.models import sentencepiece_codec as spc
+
+# --------------------------------------------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        out.append(b | (0x80 if n else 0))
+        if not n:
+            return bytes(out)
+
+
+def _tag(field: int, wire: int) -> bytes:
+    return _varint(field << 3 | wire)
+
+
+def _len_field(field: int, payload: bytes) -> bytes:
+    return _tag(field, 2) + _varint(len(payload)) + payload
+
+
+def _int_field(field: int, value: int) -> bytes:
+    if value < 0:
+        value += 1 << 64  # proto int32 negatives are 64-bit two's-complement varints
+    return _tag(field, 0) + _varint(value)
+
+
+def _piece(text: str, score: float, ptype: int | None = None) -> bytes:
+    sub = _len_field(1, text.encode()) + _tag(2, 5) + struct.pack("<f", score)
+    if ptype is not None:
+        sub += _int_field(3, ptype)
+    return _len_field(1, sub)
+
+
+def build_model(
+    pieces,
+    *,
+    model_type: int = 1,
+    unk_id: int = 0,
+    bos_id: int = 1,
+    eos_id: int = 2,
+    pad_id: int = -1,
+    byte_fallback: bool = False,
+    add_dummy_prefix: bool = True,
+    remove_extra_whitespaces: bool = True,
+    escape_whitespaces: bool = True,
+    charsmap: bytes = b"",
+) -> bytes:
+    """Serialize a ModelProto: ``pieces`` is [(text, score, type|None), ...]."""
+    buf = b"".join(_piece(*p) for p in pieces)
+    trainer = (
+        _int_field(3, model_type)
+        + _int_field(4, len(pieces))  # vocab_size
+        + _int_field(35, int(byte_fallback))
+        + _int_field(40, unk_id)
+        + _int_field(41, bos_id)
+        + _int_field(42, eos_id)
+        + _int_field(43, pad_id)
+    )
+    normalizer = (
+        _len_field(1, b"identity")
+        + _len_field(2, charsmap)
+        + _int_field(3, int(add_dummy_prefix))
+        + _int_field(4, int(remove_extra_whitespaces))
+        + _int_field(5, int(escape_whitespaces))
+    )
+    return buf + _len_field(2, trainer) + _len_field(3, normalizer)
+
+
+_BASE_PIECES = [
+    ("<unk>", 0.0, spc.UNKNOWN),
+    ("<s>", 0.0, spc.CONTROL),
+    ("</s>", 0.0, spc.CONTROL),
+    ("▁hello", -1.0, None),  # None → NORMAL (proto default, field omitted)
+    ("▁world", -1.5, None),
+    ("hello", -2.0, None),
+    ("world", -2.5, None),
+    ("▁", -3.0, None),
+    ("he", -4.0, None),
+    ("llo", -4.5, None),
+    ("wor", -4.5, None),
+    ("ld", -4.0, None),
+    ("h", -8.0, None),
+    ("e", -8.0, None),
+    ("l", -8.0, None),
+    ("o", -8.0, None),
+    ("w", -8.0, None),
+    ("r", -8.0, None),
+    ("d", -8.0, None),
+    ("a", -8.0, None),
+    ("b", -8.0, None),
+    ("\n", -7.0, None),
+]
+
+
