@@ -32,6 +32,21 @@ def _set_path(obj, parts: list[str], raw: str):
         raise ValueError(f"Unknown field {name!r} on {type(obj).__name__}. Did you mean: {close}?")
     current = getattr(obj, name)
     if len(parts) > 1:
+        if current is None:
+            # Optional[dataclass] left at None (e.g. DataConfigFactory.base_config,
+            # whose consumers treat None as "default DataConfig"): instantiate the
+            # default so dotted overrides can reach inside —
+            # ``--data.base_config.augment_mirror=True`` works on any config.
+            hints = typing.get_type_hints(type(obj))
+            ann = hints.get(name)
+            for arg in typing.get_args(ann) or (ann,):
+                if dataclasses.is_dataclass(arg):
+                    current = arg()
+                    break
+            if current is None:
+                raise ValueError(
+                    f"Cannot override {'.'.join(parts)}: field {name!r} is None"
+                )
         value = _set_path(current, parts[1:], raw)
     else:
         value = _convert(raw, current, fields[name].type)

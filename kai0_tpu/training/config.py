@@ -185,7 +185,10 @@ class FakeDataConfig(DataConfigFactory):
     repo_id: str = "fake"
 
     def create(self, assets_dirs: pathlib.Path, model_config) -> DataConfig:
-        return DataConfig(repo_id=self.repo_id)
+        # Honor base_config overrides (the dotted CLI reaches DataConfig fields
+        # through it) — fake data ignores most of them, but e.g. a debug config
+        # pointed at a real repo_id must keep its augment/episode settings.
+        return dataclasses.replace(self.base_config or DataConfig(), repo_id=self.repo_id)
 
 
 @dataclasses.dataclass(frozen=True)

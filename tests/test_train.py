@@ -170,3 +170,20 @@ def test_apply_model_knobs(monkeypatch):
         assert _knobs.get().remat == "none"
     finally:
         _knobs.configure(None)
+
+
+def test_cli_override_reaches_optional_base_config():
+    """Dotted overrides must reach DataConfig fields through a None
+    ``base_config`` (the CLI instantiates the Optional dataclass default), and
+    every factory's create() must carry those fields into the DataConfig —
+    what makes ``--data.base_config.augment_mirror=True`` work on any config."""
+    from kai0_tpu.training import cli
+
+    for name in ("debug", "pi05_flatten_fold_normal"):
+        cfg = cli.parse_overrides(
+            _config.get_config(name),
+            {"data.base_config.augment_mirror": "true",
+             "data.base_config.augment_time_scale": "2"},
+        )
+        dc = cfg.data.create(cfg.assets_dirs, cfg.model)
+        assert dc.augment_mirror is True and dc.augment_time_scale == 2, name
