@@ -1,12 +1,11 @@
-"""Pure-Python SentencePiece unigram codec.
+"""Pure-Python SentencePiece codec (unigram + BPE).
 
 The reference tokenizes prompts with the PaliGemma sentencepiece model through
 the ``sentencepiece`` wheel (reference ``src/openpi/models/tokenizer.py:18-29``).
 That wheel is a C++ extension that is not always installable (and is absent in
 this build environment), but the ``.model`` file itself is just a protobuf
 (``sentencepiece_model.proto``: unigram pieces + scores + normalizer flags) —
-so this module reads the raw file and implements the unigram encode/decode
-directly:
+so this module reads the raw file and implements the encode/decode directly:
 
 - a minimal protobuf wire-format reader for ``ModelProto`` (no generated code,
   no protobuf runtime): pieces ``(text, score, type)``, trainer ids
@@ -17,12 +16,17 @@ directly:
   all segmentations, matching only NORMAL/USER_DEFINED pieces, with the
   standard unknown-character penalty (``min_score - 10``) and UTF-8
   byte-fallback expansion of unknown segments;
+- **BPE** segmentation (``model_type=2`` — the Gemma/PaliGemma family):
+  start from characters and repeatedly merge the adjacent pair whose
+  concatenation is the best-scoring vocab piece (score desc, then leftmost —
+  sentencepiece ``bpe_model.cc`` semantics), unknown leftovers → byte
+  fallback;
 - piece decode: byte-piece runs → UTF-8, control pieces skipped, ``▁`` →
   space, dummy prefix stripped.
 
-Scope: unigram models with an identity/empty precompiled charsmap — which the
-PaliGemma/Gemma tokenizer is. Models that need an NFKC charsmap or BPE merges
-raise with a clear message (install the wheel for those).
+Scope: unigram and BPE models with an identity/empty precompiled charsmap.
+Models that need an NFKC charsmap raise with a clear message (install the
+wheel for those).
 
 Validated two ways: tests/test_sentencepiece_codec.py builds synthetic
 ``.model`` files and pins segmentation/normalization/byte-fallback behavior,
@@ -171,8 +175,8 @@ def _signed(v: int) -> int:
 # --------------------------------------------------------------------------------------
 
 
-class UnigramSentencePiece:
-    """SentencePieceProcessor-shaped pure-Python unigram encoder/decoder.
+class SentencePieceModel:
+    """SentencePieceProcessor-shaped pure-Python unigram/BPE encoder-decoder.
 
     API mirrors the wheel's surface used by ``tokenizer.SentencePieceCodec``:
     ``encode(text) -> list[int]``, ``decode(ids) -> str``, ``vocab_size()``,
@@ -183,10 +187,10 @@ class UnigramSentencePiece:
         m = parse_model(data)
         if not m.pieces:
             raise ValueError("no pieces in .model file (not a sentencepiece model?)")
-        if m.model_type != 1:
+        if m.model_type not in (1, 2):
             raise NotImplementedError(
-                f"pure-Python codec supports unigram models only (model_type={m.model_type}); "
-                "install the `sentencepiece` wheel for BPE/word/char models"
+                f"pure-Python codec supports unigram/BPE models only (model_type={m.model_type}); "
+                "install the `sentencepiece` wheel for word/char models"
             )
         if m.has_charsmap:
             raise NotImplementedError(
@@ -263,9 +267,80 @@ class UnigramSentencePiece:
     def encode(self, text: str, out_type=int) -> list[int]:
         del out_type  # ids only (the wheel's default)
         s = self._normalize(text)
-        n = len(s)
-        if n == 0:
+        if not s:
             return []
+        if self._m.model_type == 2:
+            return self._encode_bpe(s)
+        return self._encode_unigram(s)
+
+    def _emit(self, ids: list[int], surface: str) -> None:
+        """Append the out-of-vocab surface as byte pieces (or unk)."""
+        if self._m.byte_fallback:
+            ids.extend(self._byte_id[b] for b in surface.encode("utf-8"))
+        else:
+            ids.append(self._m.unk_id)
+
+    def _encode_bpe(self, s: str) -> list[int]:
+        """sentencepiece BPE (``bpe_model.cc``): start from characters, keep
+        merging the adjacent pair whose concatenation is in the vocab with the
+        HIGHEST score (ties → leftmost pair, then insertion order), until no
+        merge applies; leftover out-of-vocab symbols byte-fallback at emission."""
+        import heapq
+
+        syms = list(s)
+        n = len(syms)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(n - 1))
+        alive = [True] * n
+        vocab = self._vocab
+        heap: list = []
+        serial = 0
+
+        def push(left: int, right: int) -> None:
+            nonlocal serial
+            if left < 0 or right < 0:
+                return
+            entry = vocab.get(syms[left] + syms[right])
+            if entry is None:
+                return
+            heapq.heappush(
+                heap, (-entry[1], left, serial, len(syms[left]) + len(syms[right]), right)
+            )
+            serial += 1
+
+        for i in range(n - 1):
+            push(i, i + 1)
+        while heap:
+            _, left, _, size, right = heapq.heappop(heap)
+            # stale entries: either symbol already merged away or re-merged
+            if (
+                not alive[left]
+                or not alive[right]
+                or nxt[left] != right
+                or len(syms[left]) + len(syms[right]) != size
+            ):
+                continue
+            syms[left] = syms[left] + syms[right]
+            alive[right] = False
+            nxt[left] = nxt[right]
+            if nxt[right] != -1:
+                prv[nxt[right]] = left
+            push(prv[left], left)
+            push(left, nxt[left])
+
+        ids: list[int] = []
+        idx = 0
+        while idx != -1:
+            entry = vocab.get(syms[idx])
+            if entry is not None:
+                ids.append(entry[0])
+            else:
+                self._emit(ids, syms[idx])
+            idx = nxt[idx]
+        return ids
+
+    def _encode_unigram(self, s: str) -> list[int]:
+        n = len(s)
         NEG = float("-inf")
         best = [NEG] * (n + 1)
         best[0] = 0.0
@@ -340,3 +415,7 @@ class UnigramSentencePiece:
         if self._m.add_dummy_prefix and out.startswith(" "):
             out = out[1:]
         return out
+
+
+# Back-compat alias (the class predates BPE support).
+UnigramSentencePiece = SentencePieceModel

@@ -15,7 +15,7 @@ Parity target: reference ``src/openpi/models/tokenizer.py``:
 Both tokenizers accept a pluggable text codec. The real SentencePiece model is
 used whenever the file is available (set ``KAI0_PALIGEMMA_TOKENIZER`` to the
 ``paligemma_tokenizer.model`` path) — through the ``sentencepiece`` wheel if
-importable, else the pure-Python unigram codec
+importable, else the pure-Python unigram/BPE codec
 (kai0_tpu/models/sentencepiece_codec.py) that reads the raw protobuf directly.
 Only when the FILE itself is absent (this build environment has no network
 access to ``gs://big_vision/paligemma_tokenizer.model``) does a deterministic
@@ -90,7 +90,7 @@ class SentencePieceCodec:
         except ImportError:
             from kai0_tpu.models import sentencepiece_codec
 
-            self._sp = sentencepiece_codec.UnigramSentencePiece(data)
+            self._sp = sentencepiece_codec.SentencePieceModel(data)
             self.backend = "pure-python"
 
     def encode(self, text: str, *, add_bos: bool = False, add_eos: bool = False) -> list[int]:

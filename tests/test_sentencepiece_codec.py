@@ -17,8 +17,8 @@ from kai0_tpu.models import tokenizer as tok
 from _sp_model import _BASE_PIECES, build_model
 
 
-def _codec(pieces=None, **kw) -> spc.UnigramSentencePiece:
-    return spc.UnigramSentencePiece(build_model(pieces or _BASE_PIECES, **kw))
+def _codec(pieces=None, **kw) -> spc.SentencePieceModel:
+    return spc.SentencePieceModel(build_model(pieces or _BASE_PIECES, **kw))
 
 
 def _ids(c, text):
@@ -105,9 +105,9 @@ def test_api_surface():
     assert c.piece_to_id("zzz") == c.unk_id()
 
 
-def test_bpe_and_charsmap_models_raise():
-    with pytest.raises(NotImplementedError, match="unigram"):
-        _codec(model_type=2)
+def test_word_and_charsmap_models_raise():
+    with pytest.raises(NotImplementedError, match="unigram/BPE"):
+        _codec(model_type=3)  # WORD models need the wheel
     with pytest.raises(NotImplementedError, match="charsmap"):
         _codec(charsmap=b"\x01\x02\x03\x04")
 
@@ -142,7 +142,7 @@ def test_cross_check_against_real_wheel():
     ):
         model = build_model(_BASE_PIECES, **kw)
         wheel = _maybe_wheel(model)
-        ours = spc.UnigramSentencePiece(model)
+        ours = spc.SentencePieceModel(model)
         for text in ("hello world", "  hello   world ", "helloworld", "hello\nworld",
                      "a b", "wor ld hello", ""):
             assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
@@ -154,7 +154,7 @@ def test_cross_check_byte_fallback_against_real_wheel():
     pieces = list(_BASE_PIECES) + [(f"<0x{i:02X}>", -10.0, spc.BYTE) for i in range(256)]
     model = build_model(pieces, byte_fallback=True)
     wheel = _maybe_wheel(model)
-    ours = spc.UnigramSentencePiece(model)
+    ours = spc.SentencePieceModel(model)
     for text in ("héllo wörld", "hello 日本語", "a\x00b"):
         assert list(wheel.encode(text)) == ours.encode(text), text
 
@@ -163,9 +163,61 @@ def test_digit_heavy_state_strings_stay_stable():
     """The π₀.₅ prompt embeds 256-bin state integers; a vocab with digit pieces
     must segment them deterministically and roundtrip."""
     pieces = list(_BASE_PIECES) + [(str(d), -5.0, None) for d in range(10)]
-    c = spc.UnigramSentencePiece(build_model(pieces))
+    c = spc.SentencePieceModel(build_model(pieces))
     state = np.asarray([0.0, -1.0, 0.99])
     bins = np.digitize(state, bins=np.linspace(-1, 1, 257)[:-1]) - 1
     text = " ".join(map(str, bins))
     ids = c.encode(text)
     assert c.decode(ids) == text
+
+
+_BPE_PIECES = [
+    ("<unk>", 0.0, spc.UNKNOWN),
+    ("<s>", 0.0, spc.CONTROL),
+    ("</s>", 0.0, spc.CONTROL),
+    ("a", -10.0, None),
+    ("b", -10.0, None),
+    ("c", -10.0, None),
+    ("▁", -10.5, None),
+    ("ab", -1.0, None),
+    ("bc", -0.5, None),
+    ("abc", -3.0, None),
+    ("▁a", -2.0, None),
+]
+
+
+def test_bpe_merge_order_follows_scores():
+    """sentencepiece BPE: merge the highest-scoring pair first (bpe_model.cc).
+    'abc' → bc (-0.5) wins the first merge over ab (-1.0); then a+bc = abc."""
+    c = spc.SentencePieceModel(
+        build_model(_BPE_PIECES, model_type=2, add_dummy_prefix=False)
+    )
+    assert _ids(c, "abc") == [9]
+    assert _ids(c, "abcb") == [9, 4]  # leftover 'b' single piece
+    assert c.decode(_ids(c, "abc")) == "abc"
+    # dummy prefix composes: "▁a" merges, rest unchanged
+    c2 = spc.SentencePieceModel(build_model(_BPE_PIECES, model_type=2))
+    assert _ids(c2, "a bc") == [10, 6, 8]  # ▁a ▁ bc
+
+
+def test_bpe_byte_fallback_for_oov_chars():
+    pieces = list(_BPE_PIECES) + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+    c = spc.SentencePieceModel(
+        build_model(pieces, model_type=2, byte_fallback=True, add_dummy_prefix=False)
+    )
+    byte0 = len(_BPE_PIECES)
+    assert _ids(c, "axc") == [3, byte0 + ord("x"), 5]
+    ids = _ids(c, "aéc")
+    assert ids == [3, byte0 + 0xC3, byte0 + 0xA9, 5]
+    assert c.decode(ids) == "aéc"
+
+
+def test_bpe_cross_check_against_real_wheel():
+    """Id-for-id BPE equality with the sentencepiece wheel when importable."""
+    for kw in (dict(), dict(add_dummy_prefix=False)):
+        pieces = list(_BPE_PIECES) + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+        model = build_model(pieces, model_type=2, byte_fallback=True, **kw)
+        wheel = _maybe_wheel(model)
+        ours = spc.SentencePieceModel(model)
+        for text in ("abc", "abcb", "a bc", "axc", "aéc", "ccc ab", ""):
+            assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
