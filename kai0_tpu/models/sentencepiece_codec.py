@@ -116,6 +116,7 @@ class SpModel:
     remove_extra_whitespaces: bool = True
     escape_whitespaces: bool = True
     has_charsmap: bool = False
+    charsmap: bytes = b""
     normalizer_name: str = ""
 
 
@@ -156,6 +157,7 @@ def parse_model(data: bytes) -> SpModel:
                     m.normalizer_name = v2.decode("utf-8")
                 elif f2 == 2 and w2 == 2:
                     m.has_charsmap = len(v2) > 0
+                    m.charsmap = bytes(v2)
                 elif f2 == 3 and w2 == 0:
                     m.add_dummy_prefix = bool(v2)
                 elif f2 == 4 and w2 == 0:
@@ -168,6 +170,88 @@ def parse_model(data: bytes) -> SpModel:
 def _signed(v: int) -> int:
     """proto int32 negatives arrive as 64-bit two's-complement varints."""
     return v - (1 << 64) if v >= (1 << 63) else v
+
+
+# --------------------------------------------------------------------------------------
+# Precompiled charsmap (rule-based normalization, e.g. nmt_nfkc)
+# --------------------------------------------------------------------------------------
+
+
+def _utf8_len(lead: int) -> int:
+    if lead < 0x80:
+        return 1
+    if 0xC0 <= lead < 0xE0:
+        return 2
+    if 0xE0 <= lead < 0xF0:
+        return 3
+    if 0xF0 <= lead < 0xF8:
+        return 4
+    return 1  # invalid lead byte: copy it through (decoded with errors="replace")
+
+
+class CharsMap:
+    """``NormalizerSpec.precompiled_charsmap`` reader: a darts-clone
+    double-array trie over UTF-8 source sequences plus a NUL-terminated
+    replacement-string blob (normalizer.cc ``DecodePrecompiledCharsMap`` /
+    darts.h unit encoding). Normalization = repeated longest-prefix match →
+    replacement, unmatched characters copied through — which is how the wheel
+    applies nmt_nfkc-style rules without any Unicode tables at runtime.
+    """
+
+    def __init__(self, blob: bytes):
+        import struct
+
+        if len(blob) < 4:
+            raise ValueError("precompiled charsmap too short")
+        (trie_size,) = struct.unpack("<I", blob[:4])
+        if 4 + trie_size > len(blob):
+            raise ValueError("precompiled charsmap trie overruns the blob")
+        self._units = memoryview(blob)[4 : 4 + trie_size].cast("I")
+        self._norm = bytes(blob[4 + trie_size :])
+
+    @staticmethod
+    def _offset(unit: int) -> int:
+        # darts.h: (unit >> 10) << ((unit & (1 << 9)) >> 6)
+        return (unit >> 10) << ((unit & 0x200) >> 6)
+
+    def longest_match(self, data: bytes, pos: int) -> tuple[int, bytes] | None:
+        """Longest key match at ``data[pos:]`` → (matched byte length, replacement)."""
+        units = self._units
+        n_units = len(units)
+        node = self._offset(units[0])
+        best = None
+        for i in range(pos, len(data)):
+            c = data[i]
+            nxt = node ^ c
+            if nxt >= n_units:
+                break
+            unit = units[nxt]
+            # label() = unit & (bit31 | 0xFF): value units (bit31 set) never match a byte
+            if (unit & 0x800000FF) != c:
+                break
+            node = nxt ^ self._offset(unit)
+            if unit & 0x100:  # has_leaf
+                value = units[node] & 0x7FFFFFFF
+                end = self._norm.index(0, value)
+                best = (i + 1 - pos, self._norm[value:end])
+        return best
+
+    def normalize(self, text: str) -> str:
+        data = text.encode("utf-8")
+        out = bytearray()
+        i = 0
+        n = len(data)
+        while i < n:
+            match = self.longest_match(data, i)
+            if match is not None:
+                length, replacement = match
+                out += replacement
+                i += length
+            else:
+                length = _utf8_len(data[i])
+                out += data[i : i + length]
+                i += length
+        return out.decode("utf-8", errors="replace")
 
 
 # --------------------------------------------------------------------------------------
@@ -192,12 +276,7 @@ class SentencePieceModel:
                 f"pure-Python codec supports unigram/BPE models only (model_type={m.model_type}); "
                 "install the `sentencepiece` wheel for word/char models"
             )
-        if m.has_charsmap:
-            raise NotImplementedError(
-                "this .model carries a precompiled normalization charsmap (e.g. NFKC); "
-                "the pure-Python codec only implements identity normalization — "
-                "install the `sentencepiece` wheel for this model"
-            )
+        self._charsmap = CharsMap(m.charsmap) if m.has_charsmap else None
         self._m = m
         # Matchable surface vocabulary: NORMAL + USER_DEFINED pieces.
         self._vocab: dict[str, tuple[int, float]] = {}
@@ -250,6 +329,10 @@ class SentencePieceModel:
 
     def _normalize(self, text: str) -> str:
         m = self._m
+        if self._charsmap is not None:
+            # Rule-based normalization (e.g. nmt_nfkc) runs BEFORE the
+            # whitespace steps, exactly like normalizer.cc.
+            text = self._charsmap.normalize(text)
         if m.remove_extra_whitespaces:
             # leading/trailing ' ' stripped, internal runs collapsed (only the
             # ASCII space takes part — matches the SP normalizer).

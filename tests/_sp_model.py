@@ -105,3 +105,51 @@ _BASE_PIECES = [
 ]
 
 
+
+
+def build_charsmap(rules: dict[str, str]) -> bytes:
+    """Encode normalization rules as a ``precompiled_charsmap`` blob: a
+    darts-clone double-array over the UTF-8 source keys plus a NUL-terminated
+    replacement blob — the inverse of ``sentencepiece_codec.CharsMap`` (and of
+    the wheel's reader, which cross-validates it on asset-equipped hosts)."""
+    norm = bytearray()
+    values: dict[str, int] = {}
+    for src, rep in rules.items():
+        values[src] = len(norm)
+        norm += rep.encode("utf-8") + b"\0"
+
+    trie: dict = {}
+    for src in rules:
+        node = trie
+        for b in src.encode("utf-8"):
+            node = node.setdefault(b, {})
+        node[None] = values[src]
+
+    units: dict[int, int] = {}
+    used = {0}
+
+    def place(node: dict, pos: int) -> tuple[int, bool]:
+        labels = [b for b in node if b is not None]
+        slots = ([None] if None in node else []) + labels
+        base = 1
+        while True:
+            needed = [base if s is None else base ^ s for s in slots]
+            if all(n not in used and n != 0 for n in needed) and (pos ^ base) < (1 << 21):
+                break
+            base += 1
+        used.update(needed)
+        if None in node:
+            units[base] = 0x80000000 | node[None]  # value unit
+        for b in labels:
+            child_pos = base ^ b
+            child_off, child_leaf = place(node[b], child_pos)
+            units[child_pos] = b | (0x100 if child_leaf else 0) | (child_off << 10)
+        return pos ^ base, (None in node)
+
+    root_off, _ = place(trie, 0)
+    units[0] = root_off << 10
+    arr = [0] * (max(units) + 1)
+    for p, u in units.items():
+        arr[p] = u
+    trie_blob = b"".join(struct.pack("<I", u) for u in arr)
+    return struct.pack("<I", len(trie_blob)) + trie_blob + bytes(norm)

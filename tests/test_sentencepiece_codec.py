@@ -105,11 +105,11 @@ def test_api_surface():
     assert c.piece_to_id("zzz") == c.unk_id()
 
 
-def test_word_and_charsmap_models_raise():
+def test_word_models_and_corrupt_charsmaps_raise():
     with pytest.raises(NotImplementedError, match="unigram/BPE"):
         _codec(model_type=3)  # WORD models need the wheel
-    with pytest.raises(NotImplementedError, match="charsmap"):
-        _codec(charsmap=b"\x01\x02\x03\x04")
+    with pytest.raises(ValueError, match="charsmap"):
+        _codec(charsmap=b"\x01\x02\x03\x04")  # truncated/garbage trie blob
 
 
 def test_tokenizer_codec_uses_pure_python_without_wheel(tmp_path, monkeypatch):
@@ -221,3 +221,41 @@ def test_bpe_cross_check_against_real_wheel():
         ours = spc.SentencePieceModel(model)
         for text in ("abc", "abcb", "a bc", "axc", "aéc", "ccc ab", ""):
             assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
+
+
+def test_charsmap_longest_match_normalization():
+    """Precompiled-charsmap normalization (darts-clone trie): longest prefix
+    match wins, replacements land before whitespace handling, unmatched chars
+    copy through — the wheel's rule-based (nmt_nfkc-style) normalizer."""
+    from _sp_model import build_charsmap
+
+    cm = spc.CharsMap(build_charsmap({"A": "a", "ABC": "X", "ẞ": "ss", "É": "E"}))
+    assert cm.normalize("AB") == "aB"       # "A" matches, "B" copies
+    assert cm.normalize("ABC") == "X"       # longest match beats the "A" prefix
+    assert cm.normalize("ABCA") == "Xa"
+    assert cm.normalize("ẞÉz") == "ssEz"    # multi-byte UTF-8 keys
+    assert cm.normalize("") == ""
+    assert cm.normalize("xyz") == "xyz"     # no rule → identity
+
+    # end-to-end: a charsmap-carrying model now encodes through the rules
+    pieces = list(_BASE_PIECES)
+    model = build_model(pieces, add_dummy_prefix=False,
+                        charsmap=build_charsmap({"H": "h", "W": "w"}))
+    c = spc.SentencePieceModel(model)
+    assert c.encode("Hello World") == c.encode("hello world") == [5, 4]
+
+
+def test_charsmap_cross_check_against_real_wheel():
+    """The wheel must read our hand-built darts blob identically (skipped
+    without the wheel — validates the builder AND the reader against the
+    reference darts-clone implementation)."""
+    from _sp_model import build_charsmap
+
+    model = build_model(
+        list(_BASE_PIECES), add_dummy_prefix=False,
+        charsmap=build_charsmap({"H": "h", "W": "w", "ẞ": "ss"}),
+    )
+    wheel = _maybe_wheel(model)
+    ours = spc.SentencePieceModel(model)
+    for text in ("Hello World", "ẞ hello", "hello"):
+        assert list(wheel.encode(text)) == ours.encode(text), text
