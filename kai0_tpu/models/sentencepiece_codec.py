@@ -10,8 +10,10 @@ so this module reads the raw file and implements the encode/decode directly:
 - a minimal protobuf wire-format reader for ``ModelProto`` (no generated code,
   no protobuf runtime): pieces ``(text, score, type)``, trainer ids
   (unk/bos/eos/pad), byte-fallback flag, normalizer flags;
-- SentencePiece normalization (identity charsmap): optional extra-whitespace
-  collapse, optional dummy-" " prefix, whitespace → ``▁`` (U+2581) escaping;
+- SentencePiece normalization: precompiled-charsmap rule application
+  (darts-clone double-array longest-match, e.g. nmt_nfkc), optional
+  extra-whitespace collapse, optional dummy-" " prefix, whitespace → ``▁``
+  (U+2581) escaping;
 - unigram **Viterbi** segmentation: maximize the sum of piece log-probs over
   all segmentations, matching only NORMAL/USER_DEFINED pieces, with the
   standard unknown-character penalty (``min_score - 10``) and UTF-8
@@ -24,9 +26,9 @@ so this module reads the raw file and implements the encode/decode directly:
 - piece decode: byte-piece runs → UTF-8, control pieces skipped, ``▁`` →
   space, dummy prefix stripped.
 
-Scope: unigram and BPE models with an identity/empty precompiled charsmap.
-Models that need an NFKC charsmap raise with a clear message (install the
-wheel for those).
+Scope: unigram and BPE models, with or without a precompiled charsmap
+(``CharsMap`` reads the darts-clone trie the wheel ships for nmt_nfkc-style
+rule normalization). Only WORD/CHAR model types still need the wheel.
 
 Validated two ways: tests/test_sentencepiece_codec.py builds synthetic
 ``.model`` files and pins segmentation/normalization/byte-fallback behavior,
