@@ -79,15 +79,24 @@ class SentencePieceCodec:
     against recorded goldens by scripts/validate_tokenizer.py.
     """
 
-    def __init__(self, model_path: str):
+    def __init__(self, model_path: str, backend: str | None = None):
         with open(model_path, "rb") as f:
             data = f.read()
-        try:
-            import sentencepiece
+        # KAI0_SP_BACKEND=pure forces the pure-Python path even where the wheel
+        # exists (scripts/validate_tokenizer.py uses it to check BOTH backends
+        # against the goldens on asset-equipped hosts).
+        backend = backend or os.environ.get("KAI0_SP_BACKEND", "auto")
+        self._sp = None
+        if backend in ("auto", "sentencepiece"):
+            try:
+                import sentencepiece
 
-            self._sp = sentencepiece.SentencePieceProcessor(model_proto=data)
-            self.backend = "sentencepiece"
-        except ImportError:
+                self._sp = sentencepiece.SentencePieceProcessor(model_proto=data)
+                self.backend = "sentencepiece"
+            except ImportError:
+                if backend == "sentencepiece":
+                    raise
+        if self._sp is None:
             from kai0_tpu.models import sentencepiece_codec
 
             self._sp = sentencepiece_codec.SentencePieceModel(data)

@@ -138,6 +138,23 @@ def check(goldens_path: str) -> int:
         return 3
     with open(goldens_path) as f:
         goldens = json.load(f)
+    # When the wheel is importable, check BOTH backends against the goldens —
+    # the pure-Python codec (KAI0_SP_BACKEND=pure) must match id-for-id.
+    rc = _check_against(goldens)
+    try:
+        import sentencepiece  # noqa: F401
+    except ImportError:
+        return rc
+    os.environ["KAI0_SP_BACKEND"] = "pure"
+    try:
+        print("re-checking with the pure-Python sentencepiece codec...", file=sys.stderr)
+        rc2 = _check_against(goldens)
+    finally:
+        os.environ.pop("KAI0_SP_BACKEND", None)
+    return rc or rc2
+
+
+def _check_against(goldens: dict) -> int:
     got = compute_tokenizations()
     failures = 0
     for kind in ("paligemma", "fast"):
