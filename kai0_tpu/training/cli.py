@@ -37,8 +37,10 @@ def _set_path(obj, parts: list[str], raw: str):
             # whose consumers treat None as "default DataConfig"): instantiate the
             # default so dotted overrides can reach inside —
             # ``--data.base_config.augment_mirror=True`` works on any config.
-            hints = typing.get_type_hints(type(obj))
-            ann = hints.get(name)
+            try:
+                ann = typing.get_type_hints(type(obj)).get(name)
+            except Exception:  # noqa: BLE001 — unresolvable annotation: report None below
+                ann = None
             for arg in typing.get_args(ann) or (ann,):
                 if dataclasses.is_dataclass(arg):
                     current = arg()
