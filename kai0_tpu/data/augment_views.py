@@ -77,6 +77,11 @@ class TimeScaledView:
     def tasks(self):
         return self._dataset.tasks
 
+    @property
+    def episode_indices(self):
+        """Episode set passthrough (MirroredView renumbers against it)."""
+        return self._dataset.episode_indices
+
     def __getitem__(self, index: int) -> dict:
         index = int(index)
         if index < 0 or index >= len(self):
@@ -143,6 +148,14 @@ class MirroredView:
         self._camera_swap = (
             dict(camera_swap) if camera_swap is not None else dict(_sm.DEFAULT_CAMERA_SWAP)
         )
+        # Offline create_mirror_and_merge appends the mirrored episodes with
+        # FRESH episode/global-frame indices; mirror that so mirrored twins are
+        # never bookkeeping-identical to their originals (episode grouping,
+        # dedup, resume logic). None when the inner dataset has no episode set.
+        eps = getattr(dataset, "episode_indices", None)
+        # max+1 (= count for the usual contiguous 0..E-1 set, collision-free
+        # for episode subsets) — matches the offline merge's renumbering.
+        self._episode_offset = (max(eps) + 1) if eps else None
 
     def __len__(self) -> int:
         return 2 * len(self._dataset)
@@ -168,6 +181,10 @@ class MirroredView:
                 # stride for downstream consumers.
                 target = self._camera_swap.get(key, key)
                 out[target] = np.ascontiguousarray(np.asarray(value)[:, ::-1])
+            elif key == "episode_index" and self._episode_offset is not None:
+                out[key] = np.int64(int(value) + self._episode_offset)
+            elif key == "index":
+                out[key] = np.int64(int(value) + n)
             else:
                 out[key] = value
         return out

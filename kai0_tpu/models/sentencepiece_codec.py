@@ -463,6 +463,11 @@ class SentencePieceModel:
             if pid == unk and self._m.byte_fallback:
                 for b in reversed(s[i:j].encode("utf-8")):
                     ids.append(self._byte_id[b])
+            elif pid == unk and ids and ids[-1] == unk:
+                # the wheel merges contiguous unknown characters into ONE unk
+                # token (unigram_model.cc) — match it (reversed order here, so
+                # dropping the later duplicate merges the run)
+                pass
             else:
                 ids.append(pid)
             j = i

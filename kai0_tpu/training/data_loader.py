@@ -116,6 +116,8 @@ def create_dataset(data_config, model_config, *, advantage: bool = False, split:
             episodes=selected,
         )
     time_scale = getattr(data_config, "augment_time_scale", 1)
+    if time_scale < 1:
+        raise ValueError(f"augment_time_scale must be >= 1, got {time_scale}")
     if time_scale > 1 or getattr(data_config, "augment_mirror", False):
         if advantage:
             # Estimator training disables augmentation (reference
@@ -383,6 +385,11 @@ def create_data_loader(
         )
 
     if data_config.rlds_data_dir is not None:
+        if getattr(data_config, "augment_mirror", False) or getattr(data_config, "augment_time_scale", 1) != 1:
+            # The augmentation views wrap random-access LeRobot datasets; the
+            # RLDS stream has no equivalent — fail loudly instead of silently
+            # training unaugmented.
+            raise ValueError("augment_mirror/augment_time_scale are not supported on the RLDS path")
         rlds_dataset = create_rlds_dataset(
             data_config, config.model.action_horizon, config.batch_size, shuffle=shuffle
         )

@@ -139,8 +139,13 @@ def check(goldens_path: str) -> int:
     with open(goldens_path) as f:
         goldens = json.load(f)
     # When the wheel is importable, check BOTH backends against the goldens —
-    # the pure-Python codec (KAI0_SP_BACKEND=pure) must match id-for-id.
+    # the pure-Python codec (KAI0_SP_BACKEND=pure) must match id-for-id. A
+    # caller-pinned KAI0_SP_BACKEND means they asked for exactly one backend:
+    # honor it with a single pass (and restore it afterwards either way).
+    ambient = os.environ.get("KAI0_SP_BACKEND")
     rc = _check_against(goldens)
+    if ambient is not None:
+        return rc
     try:
         import sentencepiece  # noqa: F401
     except ImportError:
@@ -150,7 +155,7 @@ def check(goldens_path: str) -> int:
         print("re-checking with the pure-Python sentencepiece codec...", file=sys.stderr)
         rc2 = _check_against(goldens)
     finally:
-        os.environ.pop("KAI0_SP_BACKEND", None)
+        del os.environ["KAI0_SP_BACKEND"]
     return rc or rc2
 
 
@@ -169,6 +174,14 @@ def _check_against(goldens: dict) -> int:
                 f"SKIP {kind}: goldens were recorded without this codec — "
                 f"re-run `record` on an asset-equipped host to cover it",
                 file=sys.stderr,
+            )
+            continue
+        if len(want_list) != len(got_list):
+            failures += 1
+            print(
+                f"MISMATCH {kind}: {len(want_list)} recorded goldens vs "
+                f"{len(got_list)} current probes — stale goldens or changed "
+                f"PROBES; re-run `record` on a trusted host"
             )
             continue
         for want, have in zip(want_list, got_list, strict=True):

@@ -155,6 +155,12 @@ def test_mirrored_view_matches_offline_rewrite(bimanual_root, tmp_path):
             diff = np.abs(a[key].astype(np.float32) - b[key].astype(np.float32)).mean()
             assert diff < 30, (idx, cam, diff)  # mp4 lossiness bound (see flip test above)
 
+    # bookkeeping columns match the offline merge's renumbering: the mirrored
+    # twins get fresh episode/global indices (never duplicate the originals)
+    for idx in (0, 25):
+        assert int(view[idx]["episode_index"]) == int(offline[idx]["episode_index"]), idx
+        assert int(view[idx]["index"]) == int(offline[idx]["index"]), idx
+
     # the mirrored half really is mirrored: arm blocks swapped, frames flipped
     orig, mirr = view[2], view[2 + len(view) // 2]
     np.testing.assert_array_equal(mirr["observation.state"][:7], orig["observation.state"][7:])

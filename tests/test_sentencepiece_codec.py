@@ -73,6 +73,9 @@ def test_unknown_chars_without_byte_fallback_use_unk():
     assert _ids(c, "hexllo") == [8, 0, 9]  # he <unk:x> llo
     # decode renders the unk surface
     assert c.decode([8, 0, 9]) == "he ⁇ llo"
+    # contiguous unknown characters merge into ONE unk token (wheel parity,
+    # unigram_model.cc — code-review round 5 finding)
+    assert _ids(c, "hexyzllo") == [8, 0, 9]
 
 
 def test_byte_fallback_expands_unknown_chars():
