@@ -66,6 +66,7 @@ class Knobs:
     int8_siglip: str | None = None  # 0 | all | site list
     # --- tokenizer assets ---
     paligemma_tokenizer: str | None = None  # path to sentencepiece model
+    sp_backend: str | None = None  # auto | sentencepiece | pure
     allow_hub: bool | None = None
 
 
@@ -95,6 +96,7 @@ _ENV = {
     "int8_sites": "KAI0_INT8_SITES",
     "int8_siglip": "KAI0_INT8_SIGLIP",
     "paligemma_tokenizer": "KAI0_PALIGEMMA_TOKENIZER",
+    "sp_backend": "KAI0_SP_BACKEND",
     "allow_hub": "KAI0_ALLOW_HUB",
 }
 
@@ -124,6 +126,7 @@ _DEFAULTS = {
     "int8_sites": None,
     "int8_siglip": "0",
     "paligemma_tokenizer": None,
+    "sp_backend": "auto",
     "allow_hub": False,
 }
 

@@ -82,10 +82,13 @@ class SentencePieceCodec:
     def __init__(self, model_path: str, backend: str | None = None):
         with open(model_path, "rb") as f:
             data = f.read()
-        # KAI0_SP_BACKEND=pure forces the pure-Python path even where the wheel
-        # exists (scripts/validate_tokenizer.py uses it to check BOTH backends
-        # against the goldens on asset-equipped hosts).
-        backend = backend or os.environ.get("KAI0_SP_BACKEND", "auto")
+        # KAI0_SP_BACKEND=pure (knob ``sp_backend``) forces the pure-Python
+        # path even where the wheel exists (scripts/validate_tokenizer.py uses
+        # it to check BOTH backends against goldens on asset-equipped hosts).
+        if backend is None:
+            from kai0_tpu import knobs as _knobs
+
+            backend = _knobs.get().sp_backend
         self._sp = None
         if backend in ("auto", "sentencepiece"):
             try:
