@@ -223,17 +223,19 @@ def select_mode(backend: str, n_chips: int):
             max_token_len=tok_len,
         )
         mode = "lora"
-        # Batch 14/chip is the v5e sweet spot with the round-2 memory work (fused
-        # int8 FFN + bf16 AdamW moments): 11.78 samples/s vs 11.58 at 12, 11.29 at
-        # 16 (PERF.md round-2 sweep). Before it, 14+ OOMed and 12 was the ceiling.
-        batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "14")) * n_chips
-        fsdp = 1
         # Int8 frozen base is the documented fast path for single-chip LoRA
         # fine-tunes (kai0_tpu/ops/quant.py; +11% measured, PERF.md). KAI0_BENCH_INT8=0
         # benches the bf16 reference-parity configuration instead.
         from kai0_tpu.ops import quant as _quant
 
         quantize = _quant.env_flag("KAI0_BENCH_INT8", "1")
+        # Batch 14/chip is the int8-mode v5e sweet spot with the round-2 memory
+        # work (fused int8 FFN + bf16 AdamW moments): 11.78 samples/s vs 11.58
+        # at 12, 11.29 at 16 (PERF.md round-2 sweep). The bf16 parity mode has
+        # no int8-freed HBM: its ceiling (and documented 8.77 configuration)
+        # is batch 12 — 14 OOMs by ~145 MB.
+        batch_size = int(os.environ.get("KAI0_BENCH_BATCH", "14" if quantize else "12")) * n_chips
+        fsdp = 1
         # With the int8 base's freed HBM, saving the per-block attention outputs
         # (KAI0_REMAT=attn, gemma + SigLIP) skips their backward recompute: +0.6%
         # reproducible (9.81 -> 9.87). bf16 at batch 12 OOMs by ~240 MB with it,
