@@ -35,9 +35,19 @@ def _swap_arm_blocks(value: np.ndarray, left_dim: int, right_dim: int) -> np.nda
     arr = np.asarray(value)
     if arr.ndim <= 1:
         return _sm.swap_arms_in_array(arr, left_dim, right_dim)
-    flat = arr.reshape(-1, arr.shape[-1])
-    out = np.stack([_sm.swap_arms_in_array(row, left_dim, right_dim) for row in flat])
-    return out.reshape(arr.shape)
+    total = left_dim + right_dim
+    if left_dim != right_dim or arr.shape[-1] < total:
+        # unequal blocks / short rows: defer to the per-row function so the
+        # error behavior stays identical to the offline rewrite's
+        flat = arr.reshape(-1, arr.shape[-1])
+        out = np.stack([_sm.swap_arms_in_array(row, left_dim, right_dim) for row in flat])
+        return out.reshape(arr.shape)
+    # hot path (loader workers run this per mirrored item): the swap is a fixed
+    # column permutation — one fancy-index instead of a per-timestep Python loop
+    perm = np.concatenate(
+        [np.arange(left_dim, total), np.arange(left_dim), np.arange(total, arr.shape[-1])]
+    )
+    return arr[..., perm]
 
 
 class TimeScaledView:
@@ -53,8 +63,9 @@ class TimeScaledView:
     by tests/test_augment.py::test_time_scaled_view_matches_offline_rewrite.
 
     Wraps a raw :class:`~kai0_tpu.data.lerobot_dataset.LeRobotDataset` (it
-    reaches into the episode tables to gather strided action rows — decoding
-    ``action_horizon`` full items per chunk would cost 50 video reads each);
+    gathers strided action rows through ``get_frame``'s ``index_map`` hook —
+    decoding ``action_horizon`` full items per chunk would cost 50 video reads
+    each);
     compose with :class:`MirroredView` by applying this view first. The offline
     split mode (scale a fraction, merge with the untouched rest) stays an
     offline pipeline — use ``time_scaling.time_scaling_with_split`` for that.
@@ -91,27 +102,19 @@ class TimeScaledView:
         episode = ds.episode_indices[pos]
         k = index - int(self._offsets[pos])
         f = self._factor
-        kept = self._kept[pos]
-        horizon = ds._action_horizon
 
-        table = ds._tables.get(episode)
-        item: dict = {}
-        for name, col in table.items():
-            if name in ds._action_sequence_keys:
-                idx = f * np.minimum(np.arange(k, k + horizon), kept - 1)
-                item[name] = np.asarray(col[idx])
-            else:
-                item[name] = col[k * f]
+        # Frame assembly is get_frame's: logical rows 0..kept-1 map to the
+        # strided physical rows 0, f, 2f, … (chunk clamp at the last KEPT frame
+        # reproduces LeRobot's edge padding on the offline-rewritten episode).
+        item = ds.get_frame(
+            episode, k, index_map=lambda i: i * f, logical_length=self._kept[pos]
+        )
         if "frame_index" in item:
             item["frame_index"] = np.int64(k)
         if "timestamp" in item:
             item["timestamp"] = np.float64(k / ds.fps)
         if "index" in item:
             item["index"] = np.int64(int(self._offsets[pos]) + k)
-        for video_key in ds.metadata.video_keys:
-            item[video_key] = ds._videos.read_frame(
-                ds.metadata.video_path(episode, video_key), k * f
-            )
         return item
 
 

@@ -200,9 +200,26 @@ class LeRobotDataset:
         episode_index, frame_index = self.locate(index)
         return self.get_frame(episode_index, frame_index)
 
-    def get_frame(self, episode_index: int, frame_index: int, *, key_prefix: str = "") -> dict:
+    def get_frame(
+        self,
+        episode_index: int,
+        frame_index: int,
+        *,
+        key_prefix: str = "",
+        index_map=None,
+        logical_length: int | None = None,
+    ) -> dict:
+        """Assemble one item: scalar columns, clamped action chunks, video frames.
+
+        ``index_map``/``logical_length`` let views re-index an episode without
+        re-implementing this body (augment_views.TimeScaledView): ``frame_index``
+        and the action-chunk rows are *logical* positions, clamped to
+        ``logical_length``, then mapped to physical table rows by ``index_map``
+        (vectorized over index arrays).
+        """
         table = self._tables.get(episode_index)
-        length = self._episode_lengths[episode_index]
+        length = self._episode_lengths[episode_index] if logical_length is None else logical_length
+        phys = (lambda i: i) if index_map is None else index_map
 
         item: dict = {}
         for name, col in table.items():
@@ -210,13 +227,13 @@ class LeRobotDataset:
                 idx = np.minimum(
                     np.arange(frame_index, frame_index + self._action_horizon), length - 1
                 )
-                item[key_prefix + name] = np.asarray(col[idx])
+                item[key_prefix + name] = np.asarray(col[phys(idx)])
             else:
-                item[key_prefix + name] = col[frame_index]
+                item[key_prefix + name] = col[phys(frame_index)]
 
         for video_key in self.metadata.video_keys:
             item[key_prefix + video_key] = self._videos.read_frame(
-                self.metadata.video_path(episode_index, video_key), frame_index
+                self.metadata.video_path(episode_index, video_key), int(phys(frame_index))
             )
         return item
 

@@ -19,10 +19,12 @@ so this module reads the raw file and implements the encode/decode directly:
   standard unknown-character penalty (``min_score - 10``) and UTF-8
   byte-fallback expansion of unknown segments;
 - **BPE** segmentation (``model_type=2`` — the Gemma/PaliGemma family):
-  start from characters and repeatedly merge the adjacent pair whose
-  concatenation is the best-scoring vocab piece (score desc, then leftmost —
-  sentencepiece ``bpe_model.cc`` semantics), unknown leftovers → byte
-  fallback;
+  seed symbols as USER_DEFINED pieces (longest-prefix match, frozen — never
+  merged or split; PaliGemma's 1024 ``<locXXXX>`` + 128 ``<segXXX>`` pieces
+  are this type) or single characters, then repeatedly merge the adjacent
+  non-frozen pair whose concatenation is the best-scoring vocab piece (score
+  desc, then leftmost — sentencepiece ``bpe_model.cc`` semantics), unknown
+  leftovers → byte fallback;
 - piece decode: byte-piece runs → UTF-8, control pieces skipped, ``▁`` →
   space, dummy prefix stripped.
 
@@ -280,20 +282,39 @@ class SentencePieceModel:
             )
         self._charsmap = CharsMap(m.charsmap) if m.has_charsmap else None
         self._m = m
-        # Matchable surface vocabulary: NORMAL + USER_DEFINED pieces.
-        self._vocab: dict[str, tuple[int, float]] = {}
+        # Matchable surface vocabulary: NORMAL + USER_DEFINED pieces. The
+        # user-defined subset is also kept separately: BPE pre-segments the
+        # input with a longest-prefix match over it (bpe_model.cc seeds those
+        # as frozen whole symbols), and unigram scores its lattice nodes
+        # specially (see _encode_unigram).
+        self._vocab: dict[str, tuple[int, float, bool]] = {}  # text -> (id, score, is_ud)
+        self._user_defined: dict[str, int] = {}
         self._byte_id: dict[int, int] = {}
         max_len = 1
+        max_ud_len = 0
+        # min score feeds the unk penalty; max score feeds the user-defined
+        # lattice bonus. Both span the matchable pieces (NORMAL +
+        # USER_DEFINED, the wheel's ``pieces_`` map): unigram log-prob scores
+        # are negative while USER_DEFINED pieces conventionally carry 0.0, so
+        # with any UD piece present max_score is 0 and the UD node score below
+        # collapses to −0.1 — "always selected".
         min_score = 0.0
+        max_score = 0.0
         for i, (text, score, ptype) in enumerate(m.pieces):
             if ptype in (NORMAL, USER_DEFINED):
-                self._vocab[text] = (i, score)
+                self._vocab[text] = (i, score, ptype == USER_DEFINED)
                 max_len = max(max_len, len(text))
                 min_score = min(min_score, score)
+                max_score = max(max_score, score)
+                if ptype == USER_DEFINED:
+                    self._user_defined[text] = i
+                    max_ud_len = max(max_ud_len, len(text))
             elif ptype == BYTE:
                 # "<0xNN>" → byte value NN
                 self._byte_id[int(text[1:-1], 16)] = i
         self._max_piece_len = max_len
+        self._max_ud_len = max_ud_len
+        self._max_score = max_score
         self._unk_score = min_score - _UNK_PENALTY
         if m.byte_fallback and len(self._byte_id) < 256:
             raise ValueError("byte_fallback model without a full set of 256 byte pieces")
@@ -365,14 +386,44 @@ class SentencePieceModel:
         else:
             ids.append(self._m.unk_id)
 
+    def _split_user_defined(self, s: str) -> tuple[list[str], list[bool]]:
+        """Seed symbols for BPE: a longest-prefix match over USER_DEFINED
+        pieces at each position (bpe_model.cc's ``PrefixMatcher``), single
+        characters elsewhere. Matched symbols come back *frozen* — the wheel
+        never merges them with neighbours nor splits them further, which is
+        what keeps e.g. PaliGemma's ``<locXXXX>``/``<segXXX>`` pieces atomic."""
+        syms: list[str] = []
+        frozen: list[bool] = []
+        ud = self._user_defined
+        max_ud = self._max_ud_len
+        n = len(s)
+        i = 0
+        while i < n:
+            matched = 0
+            for ln in range(min(max_ud, n - i), 0, -1):
+                if s[i : i + ln] in ud:
+                    matched = ln
+                    break
+            if matched:
+                syms.append(s[i : i + matched])
+                frozen.append(True)
+                i += matched
+            else:
+                syms.append(s[i])
+                frozen.append(False)
+                i += 1
+        return syms, frozen
+
     def _encode_bpe(self, s: str) -> list[int]:
-        """sentencepiece BPE (``bpe_model.cc``): start from characters, keep
-        merging the adjacent pair whose concatenation is in the vocab with the
-        HIGHEST score (ties → leftmost pair, then insertion order), until no
-        merge applies; leftover out-of-vocab symbols byte-fallback at emission."""
+        """sentencepiece BPE (``bpe_model.cc``): seed symbols as user-defined
+        pieces (frozen, via longest-prefix match) or single characters, then
+        keep merging the adjacent non-frozen pair whose concatenation is in
+        the vocab with the HIGHEST score (ties → leftmost pair, then insertion
+        order) until no merge applies; leftover out-of-vocab symbols
+        byte-fallback at emission."""
         import heapq
 
-        syms = list(s)
+        syms, frozen = self._split_user_defined(s)
         n = len(syms)
         nxt = list(range(1, n)) + [-1]
         prv = [-1] + list(range(n - 1))
@@ -383,7 +434,7 @@ class SentencePieceModel:
 
         def push(left: int, right: int) -> None:
             nonlocal serial
-            if left < 0 or right < 0:
+            if left < 0 or right < 0 or frozen[left] or frozen[right]:
                 return
             entry = vocab.get(syms[left] + syms[right])
             if entry is None:
@@ -443,7 +494,13 @@ class SentencePieceModel:
                     continue
                 if j == i + 1:
                     covered_single = True
-                pid, score = entry
+                pid, score, is_ud = entry
+                if is_ud:
+                    # unigram_model.cc PopulateNodes: "User defined symbol
+                    # receives extra bonus to always be selected" — its lattice
+                    # score is char_len·max_score − 0.1 (max over NORMAL
+                    # pieces), not the proto score.
+                    score = (j - i) * self._max_score - 0.1
                 cand = base + score
                 if cand > best[j]:
                     best[j] = cand

@@ -89,6 +89,12 @@ class SentencePieceCodec:
             from kai0_tpu import knobs as _knobs
 
             backend = _knobs.get().sp_backend
+        if backend not in ("auto", "sentencepiece", "pure"):
+            # A typo'd KAI0_SP_BACKEND must not silently select the pure codec
+            # — that would defeat the wheel-vs-pure A/B the knob exists for.
+            raise ValueError(
+                f"unknown sentencepiece backend {backend!r} (expected auto|sentencepiece|pure)"
+            )
         self._sp = None
         if backend in ("auto", "sentencepiece"):
             try:

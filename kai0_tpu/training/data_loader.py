@@ -96,6 +96,12 @@ def create_dataset(data_config, model_config, *, advantage: bool = False, split:
     """
     repo_id = data_config.repo_id
     if repo_id is None or repo_id == "fake":
+        # Fail as loudly as the real paths would: a debug/CI run that sets
+        # augmentation flags must not silently train unaugmented fake data.
+        if getattr(data_config, "augment_time_scale", 1) != 1 or getattr(
+            data_config, "augment_mirror", False
+        ):
+            raise ValueError("train-time augmentation requires a real LeRobot dataset, not fake data")
         return FakeDataset(model_config, num_samples=1024)
 
     from kai0_tpu.data import lerobot_dataset

@@ -50,6 +50,10 @@ PROBES = {
         "pick up the red block",
         "fold_the_tee shirt\nslowly",
         "Transfer   tea from cup",
+        # PaliGemma USER_DEFINED pieces (<locXXXX>/<segXXX>): must come out as
+        # single ids from BOTH backends (the pure codec seeds them as frozen
+        # BPE symbols — a divergence here is checkpoint-incompatible).
+        "detect block <loc0012><loc0987> mask <seg045>",
     ],
     "states": [
         [0.0] * 14,

@@ -201,6 +201,11 @@ def test_augment_mirror_config_flag(bimanual_root):
     with pytest.raises(ValueError, match="advantage"):
         _data_loader.create_dataset(data_config, model, advantage=True)
 
+    # fake data must not silently train unaugmented (same loudness as the
+    # RLDS path): the flags only mean anything on a real LeRobot dataset
+    with pytest.raises(ValueError, match="fake"):
+        _data_loader.create_dataset(_dc.replace(data_config, repo_id="fake"), model)
+
 
 def test_time_scaled_view_matches_offline_rewrite(bimanual_root, tmp_path):
     """Train-time TimeScaledView ≡ offline time_scale_dataset: same kept

@@ -215,14 +215,72 @@ def test_bpe_byte_fallback_for_oov_chars():
     assert c.decode(ids) == "aéc"
 
 
+def test_bpe_user_defined_pieces_are_atomic():
+    """USER_DEFINED pieces seed BPE as frozen whole symbols via a
+    longest-prefix match (bpe_model.cc's PrefixMatcher) — never merged with
+    neighbours, never split. This is what keeps PaliGemma's 1024 <locXXXX> +
+    128 <segXXX> pieces single ids; without it they byte-fallback into
+    checkpoint-incompatible sequences."""
+    pieces = (
+        list(_BPE_PIECES)
+        + [("<loc0>", 0.0, spc.USER_DEFINED), ("<loc01>", 0.0, spc.USER_DEFINED)]
+        + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+    )
+    c = spc.SentencePieceModel(
+        build_model(pieces, model_type=2, byte_fallback=True, add_dummy_prefix=False)
+    )
+    loc0, loc01 = len(_BPE_PIECES), len(_BPE_PIECES) + 1
+    assert _ids(c, "<loc0>") == [loc0]
+    assert _ids(c, "<loc01>") == [loc01]  # longest match wins
+    # frozen: neighbours still merge among themselves but never across the UD piece
+    assert _ids(c, "a<loc0>bc") == [3, loc0, 8]
+    assert c.decode([3, loc0, 8]) == "a<loc0>bc"
+    # a partial UD surface is NOT matched — it segments like any other text
+    # ('c' is a real piece, the rest byte-fallback)
+    byte0 = len(_BPE_PIECES) + 2
+    assert _ids(c, "<loc1>") == [byte0 + b for b in b"<lo"] + [5] + [byte0 + b for b in b"1>"]
+
+
+def test_unigram_user_defined_score_bonus():
+    """unigram_model.cc gives USER_DEFINED lattice nodes char_len·max_score −
+    0.1 instead of their proto score ("extra bonus to always be selected"):
+    with conventional 0.0-scored UD pieces max_score is 0, the node score is
+    −0.1, and the UD piece beats any real (log-prob-scored) segmentation of
+    the same span — regardless of the proto score attached to it."""
+    pieces = [
+        ("<unk>", 0.0, spc.UNKNOWN),
+        ("<s>", 0.0, spc.CONTROL),
+        ("</s>", 0.0, spc.CONTROL),
+        ("x", -1.0, None),
+        ("y", -1.0, None),
+        ("xy", 0.0, spc.USER_DEFINED),
+    ]
+    kw = dict(add_dummy_prefix=False, escape_whitespaces=False)
+    c = spc.SentencePieceModel(build_model(pieces, **kw))
+    assert _ids(c, "xy") == [5]
+    assert _ids(c, "xyx") == [5, 3]
+    # the bonus replaces the proto score: a −8.0 UD piece still beats x+y (−2.0)
+    c2 = spc.SentencePieceModel(
+        build_model(pieces + [("yx", -8.0, spc.USER_DEFINED)], **kw)
+    )
+    assert _ids(c2, "yx") == [6]
+
+
 def test_bpe_cross_check_against_real_wheel():
     """Id-for-id BPE equality with the sentencepiece wheel when importable."""
     for kw in (dict(), dict(add_dummy_prefix=False)):
-        pieces = list(_BPE_PIECES) + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+        pieces = (
+            list(_BPE_PIECES)
+            + [("<loc0>", 0.0, spc.USER_DEFINED), ("<loc01>", 0.0, spc.USER_DEFINED)]
+            + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+        )
         model = build_model(pieces, model_type=2, byte_fallback=True, **kw)
         wheel = _maybe_wheel(model)
         ours = spc.SentencePieceModel(model)
-        for text in ("abc", "abcb", "a bc", "axc", "aéc", "ccc ab", ""):
+        for text in (
+            "abc", "abcb", "a bc", "axc", "aéc", "ccc ab", "",
+            "<loc0>", "a<loc0>bc", "<loc01> ab", "<loc1>",
+        ):
             assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
 
 
