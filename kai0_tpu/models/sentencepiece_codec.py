@@ -23,8 +23,9 @@ so this module reads the raw file and implements the encode/decode directly:
   merged or split; PaliGemma's 1024 ``<locXXXX>`` + 128 ``<segXXX>`` pieces
   are this type) or single characters, then repeatedly merge the adjacent
   non-frozen pair whose concatenation is the best-scoring vocab piece (score
-  desc, then leftmost — sentencepiece ``bpe_model.cc`` semantics), unknown
-  leftovers → byte fallback;
+  desc, then leftmost — sentencepiece ``bpe_model.cc`` semantics), UNUSED
+  merge targets re-split into their parts at emission (``rev_merge``),
+  unknown leftovers → byte fallback;
 - piece decode: byte-piece runs → UTF-8, control pieces skipped, ``▁`` →
   space, dummy prefix stripped.
 
@@ -289,6 +290,10 @@ class SentencePieceModel:
         # specially (see _encode_unigram).
         self._vocab: dict[str, tuple[int, float, bool]] = {}  # text -> (id, score, is_ud)
         self._user_defined: dict[str, int] = {}
+        # UNUSED pieces join BPE merge candidates (the wheel's ``pieces_`` map
+        # includes them) but are re-split into their parts at emission
+        # (bpe_model.cc ``rev_merge_``); unigram skips them entirely.
+        self._unused: dict[str, tuple[int, float]] = {}
         self._byte_id: dict[int, int] = {}
         max_len = 1
         max_ud_len = 0
@@ -309,6 +314,8 @@ class SentencePieceModel:
                 if ptype == USER_DEFINED:
                     self._user_defined[text] = i
                     max_ud_len = max(max_ud_len, len(text))
+            elif ptype == UNUSED:
+                self._unused[text] = (i, score)
             elif ptype == BYTE:
                 # "<0xNN>" → byte value NN
                 self._byte_id[int(text[1:-1], 16)] = i
@@ -418,9 +425,11 @@ class SentencePieceModel:
         """sentencepiece BPE (``bpe_model.cc``): seed symbols as user-defined
         pieces (frozen, via longest-prefix match) or single characters, then
         keep merging the adjacent non-frozen pair whose concatenation is in
-        the vocab with the HIGHEST score (ties → leftmost pair, then insertion
-        order) until no merge applies; leftover out-of-vocab symbols
-        byte-fallback at emission."""
+        the vocab — NORMAL, USER_DEFINED or UNUSED — with the HIGHEST score
+        (ties → leftmost pair, then insertion order) until no merge applies.
+        Merges whose target is an UNUSED piece are recorded in ``rev_merge``
+        and re-split into their parts at emission (the wheel's hierarchical
+        merge trick); leftover out-of-vocab symbols byte-fallback."""
         import heapq
 
         syms, frozen = self._split_user_defined(s)
@@ -429,6 +438,8 @@ class SentencePieceModel:
         prv = [-1] + list(range(n - 1))
         alive = [True] * n
         vocab = self._vocab
+        unused = self._unused
+        rev_merge: dict[str, tuple[str, str]] = {}
         heap: list = []
         serial = 0
 
@@ -436,12 +447,16 @@ class SentencePieceModel:
             nonlocal serial
             if left < 0 or right < 0 or frozen[left] or frozen[right]:
                 return
-            entry = vocab.get(syms[left] + syms[right])
+            piece = syms[left] + syms[right]
+            entry = vocab.get(piece)
             if entry is None:
-                return
-            heapq.heappush(
-                heap, (-entry[1], left, serial, len(syms[left]) + len(syms[right]), right)
-            )
+                entry = unused.get(piece)
+                if entry is None:
+                    return
+                # recorded at candidate time, later pushes overwrite — matches
+                # bpe_model.cc's rev_merge_ insertion in MaybeAddNewSymbolPair
+                rev_merge[piece] = (syms[left], syms[right])
+            heapq.heappush(heap, (-entry[1], left, serial, len(piece), right))
             serial += 1
 
         for i in range(n - 1):
@@ -465,13 +480,22 @@ class SentencePieceModel:
             push(left, nxt[left])
 
         ids: list[int] = []
-        idx = 0
-        while idx != -1:
-            entry = vocab.get(syms[idx])
+
+        def resegment(piece: str) -> None:
+            entry = vocab.get(piece)
             if entry is not None:
                 ids.append(entry[0])
-            else:
-                self._emit(ids, syms[idx])
+                return
+            parts = rev_merge.get(piece)
+            if parts is None:
+                self._emit(ids, piece)
+                return
+            resegment(parts[0])
+            resegment(parts[1])
+
+        idx = 0
+        while idx != -1:
+            resegment(syms[idx])
             idx = nxt[idx]
         return ids
 

@@ -241,6 +241,29 @@ def test_bpe_user_defined_pieces_are_atomic():
     assert _ids(c, "<loc1>") == [byte0 + b for b in b"<lo"] + [5] + [byte0 + b for b in b"1>"]
 
 
+def test_bpe_unused_pieces_resegment():
+    """UNUSED pieces join the merge candidates but re-split into their parts at
+    emission (bpe_model.cc rev_merge_) — the hierarchical-merge mechanism that
+    lets 'ab' (UNUSED) bridge a+b toward 'abc' (NORMAL) while never itself
+    appearing in the output."""
+    pieces = [
+        ("<unk>", 0.0, spc.UNKNOWN),
+        ("<s>", 0.0, spc.CONTROL),
+        ("</s>", 0.0, spc.CONTROL),
+        ("a", -10.0, None),
+        ("b", -10.0, None),
+        ("c", -10.0, None),
+        ("ab", -0.2, spc.UNUSED),
+        ("abc", -3.0, None),
+    ]
+    c = spc.SentencePieceModel(build_model(pieces, model_type=2, add_dummy_prefix=False))
+    # 'ab' merges first (best score) then ab+c → abc (NORMAL): single id
+    assert _ids(c, "abc") == [7]
+    # a bare 'ab' has nowhere to go: the UNUSED symbol resegments to a, b
+    assert _ids(c, "ab") == [3, 4]
+    assert c.decode([7]) == "abc"
+
+
 def test_unigram_user_defined_score_bonus():
     """unigram_model.cc gives USER_DEFINED lattice nodes char_len·max_score −
     0.1 instead of their proto score ("extra bonus to always be selected"):
@@ -272,6 +295,7 @@ def test_bpe_cross_check_against_real_wheel():
         pieces = (
             list(_BPE_PIECES)
             + [("<loc0>", 0.0, spc.USER_DEFINED), ("<loc01>", 0.0, spc.USER_DEFINED)]
+            + [("cb", -0.3, spc.UNUSED)]
             + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
         )
         model = build_model(pieces, model_type=2, byte_fallback=True, **kw)
@@ -279,7 +303,7 @@ def test_bpe_cross_check_against_real_wheel():
         ours = spc.SentencePieceModel(model)
         for text in (
             "abc", "abcb", "a bc", "axc", "aéc", "ccc ab", "",
-            "<loc0>", "a<loc0>bc", "<loc01> ab", "<loc1>",
+            "<loc0>", "a<loc0>bc", "<loc01> ab", "<loc1>", "acb", "cb",
         ):
             assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
 
