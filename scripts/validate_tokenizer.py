@@ -115,6 +115,20 @@ def compute_tokenizations() -> dict:
                     "roundtrip_mae": float(np.abs(rt - actions).mean()),
                 }
             )
+
+    # Self-check on the real asset: USER_DEFINED pieces must come out as ONE id
+    # (frozen BPE seeds in the pure codec; PrefixMatcher in the wheel). Skipped
+    # piece-by-piece when the asset lacks them (non-PaliGemma model).
+    sp = pal._codec._sp
+    for piece in ("<loc0012>", "<loc0987>", "<seg045>"):
+        pid = sp.piece_to_id(piece)
+        if pid == sp.unk_id():
+            continue
+        ids = pal._codec.encode(piece)
+        if pid not in ids:
+            raise AssertionError(
+                f"user-defined piece {piece!r} (id {pid}) did not tokenize atomically: {ids}"
+            )
     return out
 
 
