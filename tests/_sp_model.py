@@ -107,6 +107,42 @@ _BASE_PIECES = [
 
 
 
+def build_paligemma_like_bpe(vocab_size: int) -> tuple[bytes, int, int]:
+    """Full-vocab-size synthetic BPE model shaped like the real PaliGemma
+    tokenizer: BPE model_type, byte fallback, 1024 ``<locXXXX>`` + 128
+    ``<segXXX>`` USER_DEFINED pieces, UNUSED fill to ``vocab_size``.
+
+    Returns ``(model_bytes, loc0, seg0)`` — the ids of ``<loc0000>`` and
+    ``<seg000>``. Shared by test_tokenizer (atomicity through the tokenizer
+    stack) and test_tokenizer_goldens (validate_tokenizer record→check flow).
+    """
+    pieces = [
+        ("<pad>", 0.0, spc.CONTROL),
+        ("<eos>", 0.0, spc.CONTROL),
+        ("<bos>", 0.0, spc.CONTROL),
+        ("<unk>", 0.0, spc.UNKNOWN),
+    ]
+    pieces += [(c, -8.0, None) for c in "abcdefghijklmnopqrstuvwxyz0123456789<>:;,.|▁\n"]
+    loc0 = len(pieces)
+    pieces += [(f"<loc{i:04d}>", 0.0, spc.USER_DEFINED) for i in range(1024)]
+    seg0 = len(pieces)
+    pieces += [(f"<seg{i:03d}>", 0.0, spc.USER_DEFINED) for i in range(128)]
+    pieces += [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
+    pieces += [(f"<fill{i}>", -20.0, spc.UNUSED) for i in range(vocab_size - len(pieces))]
+    model = build_model(
+        pieces,
+        model_type=2,
+        unk_id=3,
+        bos_id=2,
+        eos_id=1,
+        pad_id=0,
+        byte_fallback=True,
+        add_dummy_prefix=False,
+        remove_extra_whitespaces=False,
+    )
+    return model, loc0, seg0
+
+
 def build_charsmap(rules: dict[str, str]) -> bytes:
     """Encode normalization rules as a ``precompiled_charsmap`` blob: a
     darts-clone double-array over the UTF-8 source keys plus a NUL-terminated

@@ -157,28 +157,10 @@ def test_paligemma_bpe_loc_seg_pieces_atomic(tmp_path, monkeypatch):
     PaligemmaTokenizer stack — the frozen-seed path in the pure codec
     (sentencepiece bpe_model.cc PrefixMatcher parity)."""
     import _sp_model
-    from kai0_tpu.models import sentencepiece_codec as spc
 
-    pieces = [
-        ("<pad>", 0.0, spc.CONTROL),
-        ("<eos>", 0.0, spc.CONTROL),
-        ("<bos>", 0.0, spc.CONTROL),
-        ("<unk>", 0.0, spc.UNKNOWN),
-    ]
-    pieces += [(c, -8.0, None) for c in "abcdefghijklmnopqrstuvwxyz0123456789<>:;,.|▁\n"]
-    loc0 = len(pieces)
-    pieces += [(f"<loc{i:04d}>", 0.0, spc.USER_DEFINED) for i in range(1024)]
-    seg0 = len(pieces)
-    pieces += [(f"<seg{i:03d}>", 0.0, spc.USER_DEFINED) for i in range(128)]
-    pieces += [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
-    pieces += [(f"<fill{i}>", -20.0, spc.UNUSED)
-               for i in range(_tokenizer.PALIGEMMA_VOCAB_SIZE - len(pieces))]
+    model, loc0, seg0 = _sp_model.build_paligemma_like_bpe(_tokenizer.PALIGEMMA_VOCAB_SIZE)
     model_path = tmp_path / "synthetic_bpe.model"
-    model_path.write_bytes(
-        _sp_model.build_model(pieces, model_type=2, unk_id=3, bos_id=2, eos_id=1,
-                              pad_id=0, byte_fallback=True, add_dummy_prefix=False,
-                              remove_extra_whitespaces=False)
-    )
+    model_path.write_bytes(model)
     monkeypatch.setenv("KAI0_PALIGEMMA_TOKENIZER", str(model_path))
 
     pal = _tokenizer.PaligemmaTokenizer(max_len=64)

@@ -34,3 +34,27 @@ def test_real_codec_paths_match_goldens():
     if proc.returncode == 3:
         pytest.skip(f"validate_tokenizer self-skipped: {proc.stderr.strip()}")
     assert proc.returncode == 0, proc.stdout + proc.stderr
+
+
+def test_validator_record_check_roundtrip_on_synthetic_asset(tmp_path):
+    """Exercise validate_tokenizer's record→check flow end-to-end with the
+    full-vocab synthetic BPE model standing in for the asset — otherwise the
+    script itself never executes in this offline environment. Covers the probe
+    matrix, the golden writer/reader, and the user-defined atomicity
+    self-check (the detection probe carries <locXXXX>/<segXXX> pieces)."""
+    import _sp_model
+    from kai0_tpu.models import tokenizer as _tokenizer
+
+    model, _, _ = _sp_model.build_paligemma_like_bpe(_tokenizer.PALIGEMMA_VOCAB_SIZE)
+    model_path = tmp_path / "synthetic_bpe.model"
+    model_path.write_bytes(model)
+    goldens = tmp_path / "goldens.json"
+    env = {**os.environ, "KAI0_PALIGEMMA_TOKENIZER": str(model_path)}
+    script = os.path.join(REPO, "scripts", "validate_tokenizer.py")
+    for mode in ("record", "check"):
+        proc = subprocess.run(
+            [sys.executable, script, mode, "--out", str(goldens)],
+            capture_output=True, text=True, timeout=600, env=env,
+        )
+        assert proc.returncode == 0, (mode, proc.stdout, proc.stderr)
+    assert goldens.exists()
