@@ -488,7 +488,14 @@ class SentencePieceModel:
                 return
             parts = rev_merge.get(piece)
             if parts is None:
-                self._emit(ids, piece)
+                ue = unused.get(piece)
+                if ue is not None:
+                    # bpe_model.cc resegment: an UNUSED symbol with NO recorded
+                    # merge (it was seeded directly, e.g. a single-char UNUSED
+                    # piece) emits its own id rather than byte-fallback
+                    ids.append(ue[0])
+                else:
+                    self._emit(ids, piece)
                 return
             resegment(parts[0])
             resegment(parts[1])

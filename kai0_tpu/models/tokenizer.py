@@ -69,6 +69,11 @@ def _warn_fallback(name: str, detail: str) -> None:
 # --------------------------------------------------------------------------------------
 
 
+class UnknownBackendError(ValueError):
+    """Invalid ``KAI0_SP_BACKEND`` value — a configuration error that must
+    hard-fail, never degrade to a fallback codec."""
+
+
 class SentencePieceCodec:
     """Real PaliGemma sentencepiece codec, from the raw ``.model`` file.
 
@@ -92,7 +97,10 @@ class SentencePieceCodec:
         if backend not in ("auto", "sentencepiece", "pure"):
             # A typo'd KAI0_SP_BACKEND must not silently select the pure codec
             # — that would defeat the wheel-vs-pure A/B the knob exists for.
-            raise ValueError(
+            # Dedicated type: the codec-load fallbacks (_default_text_codec,
+            # validate_tokenizer._have_sentencepiece) re-raise it instead of
+            # swallowing it as an asset-load failure.
+            raise UnknownBackendError(
                 f"unknown sentencepiece backend {backend!r} (expected auto|sentencepiece|pure)"
             )
         self._sp = None
@@ -186,6 +194,8 @@ def _default_text_codec():
     if path and os.path.exists(path):
         try:
             return SentencePieceCodec(path)
+        except UnknownBackendError:
+            raise  # config error, not an asset-load failure: never degrade
         except Exception as e:  # noqa: BLE001
             logger.warning(f"Failed to load sentencepiece model from {path}: {e}; using hash codec")
     _warn_fallback(

@@ -71,6 +71,8 @@ def _have_sentencepiece() -> bool:
     try:
         _tokenizer.SentencePieceCodec(path)
         return True
+    except _tokenizer.UnknownBackendError:
+        raise  # typo'd KAI0_SP_BACKEND must fail the run, not skip it
     except Exception as e:  # noqa: BLE001
         print(f"sentencepiece codec unavailable: {e}", file=sys.stderr)
         return False

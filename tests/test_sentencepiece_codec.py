@@ -133,6 +133,12 @@ def test_tokenizer_codec_uses_pure_python_without_wheel(tmp_path, monkeypatch):
     tokens, mask = pal.tokenize("hello world")
     assert tokens[0] == 1 and int(mask.sum()) >= 3
 
+    # a typo'd backend is a CONFIG error: it must hard-fail the codec factory,
+    # not degrade to the checkpoint-incompatible hash fallback
+    monkeypatch.setenv("KAI0_SP_BACKEND", "sentencepice")
+    with pytest.raises(tok.UnknownBackendError):
+        tok._default_text_codec()
+
 
 def test_cross_check_against_real_wheel():
     """On hosts that have the sentencepiece wheel, every text must produce the
@@ -262,6 +268,12 @@ def test_bpe_unused_pieces_resegment():
     # a bare 'ab' has nowhere to go: the UNUSED symbol resegments to a, b
     assert _ids(c, "ab") == [3, 4]
     assert c.decode([7]) == "abc"
+    # an UNUSED piece seeded DIRECTLY (single char — no recorded merge) emits
+    # its own id, matching bpe_model.cc's resegment fallthrough
+    c2 = spc.SentencePieceModel(
+        build_model(pieces + [("q", -5.0, spc.UNUSED)], model_type=2, add_dummy_prefix=False)
+    )
+    assert _ids(c2, "aq") == [3, 8]
 
 
 def test_unigram_user_defined_score_bonus():
