@@ -307,7 +307,7 @@ def test_bpe_cross_check_against_real_wheel():
         pieces = (
             list(_BPE_PIECES)
             + [("<loc0>", 0.0, spc.USER_DEFINED), ("<loc01>", 0.0, spc.USER_DEFINED)]
-            + [("cb", -0.3, spc.UNUSED)]
+            + [("cb", -0.3, spc.UNUSED), ("q", -5.0, spc.UNUSED)]
             + [(f"<0x{i:02X}>", -12.0, spc.BYTE) for i in range(256)]
         )
         model = build_model(pieces, model_type=2, byte_fallback=True, **kw)
@@ -315,7 +315,7 @@ def test_bpe_cross_check_against_real_wheel():
         ours = spc.SentencePieceModel(model)
         for text in (
             "abc", "abcb", "a bc", "axc", "aéc", "ccc ab", "",
-            "<loc0>", "a<loc0>bc", "<loc01> ab", "<loc1>", "acb", "cb",
+            "<loc0>", "a<loc0>bc", "<loc01> ab", "<loc1>", "acb", "cb", "aq",
         ):
             assert list(wheel.encode(text)) == ours.encode(text), (kw, text)
 
